@@ -1,0 +1,279 @@
+"""Fixed-shape NMS family for TPU: hard NMS, soft-NMS, rotated NMS,
+and the multiclass orchestration the detector heads consume.
+
+TPU-native replacements for the reference's CUDA/CPU kernels and
+Python orchestration:
+  - hard NMS        ← mmdet/ops/nms/src/nms_kernel.cu (greedy bitmask)
+  - soft-NMS        ← mmdet/ops/nms/src/nms_cpu.cpp (linear/gaussian)
+  - multiclass_nms  ← mmdet/core/post_processing/bbox_nms.py:6-76
+  - multiclass_nms_with_index + thetaobb_nms_by_bbox_nms
+                    ← mmdet/core/post_processing/rbbox_nms.py:6-118
+  - rotated NMS     ← NEW (the reference reused HBB keep indices and
+                      delegated scene merge to external wwtool)
+
+Everything here is statically shaped: inputs are padded arrays with
+validity encoded by sentinel scores (-inf / 0), outputs are padded
+top-K with a boolean valid mask — no data-dependent shapes, so the
+whole post-processing graph stays inside one jit program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.boxes import bbox_overlaps
+
+NEG_INF = -1e10
+
+
+def _greedy_keep(iou: jax.Array, order: jax.Array, valid: jax.Array,
+                 iou_thr: float) -> jax.Array:
+    """Exact greedy suppression given a precomputed IoU matrix.
+
+    Args:
+      iou:   [N, N] pairwise IoU (in original box order).
+      order: [N] indices sorted by descending score.
+      valid: [N] bool in original order.
+      iou_thr: suppression threshold.
+    Returns keep mask [N] in original order.
+
+    The scan walks boxes in score order; a box is kept iff no
+    higher-scoring kept box overlaps it above the threshold — the same
+    semantics as the reference's CUDA bitmask kernel
+    (mmdet/ops/nms/src/nms_kernel.cu).
+    """
+    n = iou.shape[0]
+    iou_sorted = iou[order][:, order]           # [N, N] in score order
+    valid_sorted = valid[order]
+
+    def body(keep, i):
+        row = iou_sorted[:, i]                   # IoU of box i vs all
+        earlier = jnp.arange(n) < i
+        suppressed = jnp.any(keep & earlier & (row > iou_thr))
+        keep_i = valid_sorted[i] & ~suppressed
+        return keep.at[i].set(keep_i), None
+
+    keep_sorted, _ = jax.lax.scan(body, jnp.zeros(n, bool), jnp.arange(n))
+    # scatter back to original order
+    return jnp.zeros(n, bool).at[order].set(keep_sorted)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr",))
+def nms(boxes: jax.Array, scores: jax.Array, iou_thr: float = 0.5,
+        valid: jax.Array | None = None) -> jax.Array:
+    """Hard greedy NMS on horizontal boxes.
+
+    Args:
+      boxes: [N, 4]; scores: [N]; valid: optional [N] bool.
+    Returns: keep mask [N] (bool).
+    """
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
+    iou = bbox_overlaps(boxes, boxes)
+    return _greedy_keep(iou, order, valid, iou_thr)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr",))
+def rnms(quads: jax.Array, scores: jax.Array, iou_thr: float = 0.1,
+         valid: jax.Array | None = None) -> jax.Array:
+    """Rotated (polygon) greedy NMS on [N, 8] quads — the true rotated
+    suppression the reference lacked natively (SURVEY.md §2.1)."""
+    from ..core.riou import quad_overlaps
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
+    iou = quad_overlaps(quads, quads)
+    return _greedy_keep(iou, order, valid, iou_thr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iou_thr", "method", "sigma"))
+def soft_nms(boxes: jax.Array, scores: jax.Array, iou_thr: float = 0.3,
+             method: str = "linear", sigma: float = 0.5,
+             min_score: float = 1e-3,
+             valid: jax.Array | None = None):
+    """Soft-NMS: decay instead of suppress.
+
+    Parity: mmdet/ops/nms/src/nms_cpu.cpp (soft_nms_cpu; linear and
+    gaussian decay; 'naive' == hard threshold).
+
+    Returns (new_scores [N], keep [N] bool): keep marks boxes whose
+    decayed score stayed above ``min_score``; new_scores are the
+    decayed scores (0 where not kept).
+    """
+    assert method in ("linear", "gaussian", "naive")
+    n = scores.shape[0]
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    iou = bbox_overlaps(boxes, boxes)
+    scores0 = jnp.where(valid, scores, NEG_INF)
+
+    def body(carry, _):
+        cur_scores, done = carry
+        i = jnp.argmax(jnp.where(done, NEG_INF, cur_scores))
+        top = cur_scores[i]
+        alive = top > min_score
+        row = iou[i]
+        if method == "linear":
+            decay = jnp.where(row > iou_thr, 1.0 - row, 1.0)
+        elif method == "gaussian":
+            decay = jnp.exp(-(row * row) / sigma)
+        else:
+            decay = jnp.where(row > iou_thr, 0.0, 1.0)
+        new_scores = jnp.where(done | (jnp.arange(n) == i),
+                               cur_scores, cur_scores * decay)
+        new_scores = jnp.where(alive, new_scores, cur_scores)
+        done = done.at[i].set(True)
+        return (new_scores, done), (i, alive)
+
+    (final_scores, _), (picked, alive) = jax.lax.scan(
+        body, (scores0, ~valid), None, length=n)
+    keep = jnp.zeros(n, bool).at[picked].max(alive)
+    keep &= final_scores > min_score
+    out_scores = jnp.where(keep, final_scores, 0.0)
+    return out_scores, keep
+
+
+class NMSResult(NamedTuple):
+    """Fixed-size multiclass NMS output (all arrays length ``max_num``)."""
+    boxes: jax.Array    # [K, D] selected (decoded) boxes
+    scores: jax.Array   # [K]
+    labels: jax.Array   # [K] 0-based class labels (-1 if invalid)
+    valid: jax.Array    # [K] bool
+    roi_idx: jax.Array  # [K] index of the source roi/anchor (-1 if invalid)
+
+
+def _per_class_boxes(multi_bboxes, num_classes, dim):
+    """[N, C*dim] or [N, dim] → [C-1, N, dim] (background col 0 dropped
+    when per-class), mirroring bbox_nms.py:35-40."""
+    n = multi_bboxes.shape[0]
+    if multi_bboxes.shape[-1] > dim:
+        per = multi_bboxes.reshape(n, -1, dim)
+        # reference keeps columns 1..C (drops background column 0)
+        per = per[:, 1:num_classes + 1] if per.shape[1] > num_classes \
+            else per[:, -num_classes:]
+        return jnp.swapaxes(per, 0, 1)
+    return jnp.broadcast_to(multi_bboxes[None], (num_classes, n, dim))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("score_thr", "iou_thr", "max_num", "box_dim"))
+def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
+                   score_thr: float, iou_thr: float = 0.5,
+                   max_num: int = 100, score_factors=None,
+                   valid: jax.Array | None = None,
+                   box_dim: int = 4) -> NMSResult:
+    """Per-class NMS over padded candidates, fixed-size top-K output.
+
+    Parity: mmdet/core/post_processing/bbox_nms.py:6-76 — per-class
+    independent suppression (their class-offset trick), score filter,
+    then global top ``max_num``.  Here classes are vmapped instead of
+    coordinate-offset, which is exactly equivalent and keeps shapes
+    static.
+
+    Args:
+      multi_bboxes: [N, C*box_dim] (col 0 = background group) or [N, box_dim].
+      multi_scores: [N, C+1] with background scores in column 0.
+      valid: [N] candidate validity (padding mask).
+    """
+    n = multi_scores.shape[0]
+    num_classes = multi_scores.shape[1] - 1
+    if valid is None:
+        valid = jnp.ones(n, bool)
+
+    scores = multi_scores[:, 1:]                       # [N, C]
+    if score_factors is not None:
+        scores = scores * score_factors[:, None]
+    scores_t = jnp.swapaxes(scores, 0, 1)              # [C, N]
+    boxes_t = _per_class_boxes(multi_bboxes, num_classes, box_dim)
+
+    cls_valid = valid[None] & (scores_t > score_thr)   # [C, N]
+
+    if box_dim == 4:
+        keep = jax.vmap(lambda b, s, v: nms(b, s, iou_thr, v))(
+            boxes_t, scores_t, cls_valid)
+    else:  # rotated candidates: suppress by polygon IoU
+        keep = jax.vmap(lambda q, s, v: rnms(q, s, iou_thr, v))(
+            boxes_t, scores_t, cls_valid)
+
+    flat_scores = jnp.where(keep, scores_t, NEG_INF).reshape(-1)   # [C*N]
+    k = min(max_num, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    if k < max_num:  # pad to the static output size
+        pad = max_num - k
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)])
+        top_idx = jnp.concatenate([top_idx, jnp.zeros(pad, top_idx.dtype)])
+    top_cls = top_idx // n
+    top_roi = top_idx % n
+    top_valid = top_scores > NEG_INF / 2
+    top_boxes = boxes_t[top_cls, top_roi]
+    return NMSResult(
+        boxes=jnp.where(top_valid[:, None], top_boxes, 0.0),
+        scores=jnp.where(top_valid, top_scores, 0.0),
+        labels=jnp.where(top_valid, top_cls, -1),
+        valid=top_valid,
+        roi_idx=jnp.where(top_valid, top_roi, -1))
+
+
+def multiclass_nms_with_index(multi_bboxes, multi_scores, score_thr,
+                              iou_thr=0.5, max_num=100, valid=None):
+    """Multiclass NMS returning the (class, roi) provenance of each kept
+    detection so a parallel rotated branch can reuse the keep decisions.
+
+    TPU-native equivalent of multiclass_nms_with_index +
+    thetaobb_nms_by_bbox_nms (rbbox_nms.py:6-118): instead of Python
+    lists of per-class index tensors, provenance is the fixed-size
+    (labels, roi_idx, valid) triple in :class:`NMSResult`; selecting
+    the rotated decode at those (roi, class) pairs reproduces the
+    reference's "rbbox NMS by bbox NMS" exactly.
+    """
+    return multiclass_nms(multi_bboxes, multi_scores, score_thr,
+                          iou_thr=iou_thr, max_num=max_num, valid=valid)
+
+
+def select_parallel_rboxes(rbbox_decoded: jax.Array, res: NMSResult,
+                           box_dim: int) -> jax.Array:
+    """Gather per-class rotated boxes at the HBB keep decisions.
+
+    Args:
+      rbbox_decoded: [N, C*box_dim] decoded rotated boxes where group c
+        corresponds to foreground class c-1 (group 0 = background), or
+        [N, box_dim] (class-agnostic).
+      res: result of :func:`multiclass_nms_with_index` on the HBB branch.
+    Returns [K, box_dim] rotated boxes aligned with ``res``.
+
+    Parity: thetaobb_nms_by_bbox_nms (rbbox_nms.py:64-118).
+    """
+    n = rbbox_decoded.shape[0]
+    if rbbox_decoded.shape[-1] == box_dim:
+        per = jnp.broadcast_to(rbbox_decoded[None],
+                               (1, n, box_dim))
+        cls = jnp.zeros_like(res.labels)
+    else:
+        per = jnp.swapaxes(
+            rbbox_decoded.reshape(n, -1, box_dim), 0, 1)  # [G, N, D]
+        cls = res.labels + 1   # group 0 is background
+    roi = jnp.clip(res.roi_idx, 0, n - 1)
+    cls = jnp.clip(cls, 0, per.shape[0] - 1)
+    out = per[cls, roi]
+    return jnp.where(res.valid[:, None], out, 0.0)
+
+
+def batched_nms(boxes, scores, idxs, iou_thr, valid=None):
+    """Category-aware NMS: boxes with different ``idxs`` never suppress
+    each other (torchvision batched_nms semantics, used by the
+    reference through its coordinate-offset trick)."""
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
+    iou = bbox_overlaps(boxes, boxes)
+    same = idxs[:, None] == idxs[None, :]
+    iou = jnp.where(same, iou, 0.0)
+    return _greedy_keep(iou, order, valid, iou_thr)
