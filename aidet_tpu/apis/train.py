@@ -1,0 +1,114 @@
+"""High-level training API.
+
+Parity: mmdet/apis/train.py:84-165 (train_detector): dataloaders →
+distributed wrap → optimizer → epoch loop with hooks — restated as a
+jitted pjit train step over a data mesh, with logging, checkpointing
+and (optional) eval-hook callbacks.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..data.loader import GroupedLoader
+from ..parallel import (build_lr_schedule, build_optimizer, create_mesh,
+                        create_train_state, make_train_step, replicate,
+                        shard_batch)
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import get_root_logger
+
+
+def set_random_seed(seed: int):
+    """JAX randomness is explicit via keys; this seeds numpy for the
+    host-side pipeline (parity: apis/train.py:16-32)."""
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
+                   eval_hook=None, logger=None):
+    """Train a detector.
+
+    Args:
+      model: a detector module with ``loss`` method.
+      dataset: dataset instance (see data/).
+      cfg: dict-like with keys: total_epochs, batch_size (global),
+        optimizer (lr/momentum/weight_decay/grad_clip), lr_config
+        (warmup_iters/warmup_ratio/step), pipeline (TrainPipeline),
+        seed, log_interval, checkpoint_interval, n_devices (optional).
+      eval_hook: optional callable(state, epoch) run after each epoch
+        (parity: core/evaluation/eval_hooks.py).
+    Returns the final TrainState.
+    """
+    logger = logger or get_root_logger(f"{work_dir}/train.log")
+    seed = cfg.get("seed", 0)
+    rng = set_random_seed(seed)
+
+    n_avail = len(jax.devices())
+    batch_size = cfg.get("batch_size", n_avail * 2)
+    n_dev = cfg.get("n_devices")
+    if n_dev is None:  # largest divisor of the batch that fits
+        n_dev = max(d for d in range(1, min(n_avail, batch_size) + 1)
+                    if batch_size % d == 0)
+    mesh = create_mesh(n_dev)
+    assert batch_size % n_dev == 0, "global batch must divide the mesh"
+
+    loader = GroupedLoader(dataset, cfg["pipeline"], batch_size,
+                           seed=seed,
+                           num_workers=cfg.get("num_workers", 4))
+    iters_per_epoch = max(len(loader), 1)
+    opt_cfg = cfg.get("optimizer", {})
+    lr_cfg = cfg.get("lr_config", {})
+    schedule = build_lr_schedule(
+        base_lr=opt_cfg.get("lr", 0.02),
+        warmup_iters=lr_cfg.get("warmup_iters", 500),
+        warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
+        decay_steps=lr_cfg.get("step", (8, 11)),
+        iters_per_epoch=iters_per_epoch)
+    optimizer = build_optimizer(
+        schedule, momentum=opt_cfg.get("momentum", 0.9),
+        weight_decay=opt_cfg.get("weight_decay", 1e-4),
+        grad_clip_norm=opt_cfg.get("grad_clip_norm", 35.0))
+
+    img_size = cfg["pipeline"].img_size
+    sample = np.zeros((1, img_size, img_size, 3), np.float32)
+    state = create_train_state(model, optimizer, sample, rng)
+    state = replicate(state, mesh)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info("model params: %.2fM over %d devices",
+                n_params / 1e6, n_dev)
+
+    step_fn = make_train_step(model, optimizer, mesh=mesh)
+    total_epochs = cfg.get("total_epochs", 12)
+    log_interval = cfg.get("log_interval", 50)
+    ckpt_interval = cfg.get("checkpoint_interval", 1)
+
+    step_rng = jax.random.fold_in(rng, 1)
+    global_step = 0
+    for epoch in range(total_epochs):
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            batch = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch, step_rng)
+            global_step += 1
+            if global_step % log_interval == 0:
+                m = {k: float(v) for k, v in
+                     jax.device_get(metrics).items()}
+                dt = (time.time() - t0) / (i + 1)
+                logger.info("epoch %d iter %d/%d %.3fs/it lr %.5f %s",
+                            epoch + 1, i + 1, iters_per_epoch, dt,
+                            float(schedule(global_step)),
+                            {k: round(v, 4) for k, v in m.items()})
+        if (epoch + 1) % ckpt_interval == 0:
+            save_checkpoint(f"{work_dir}/ckpt", state, epoch + 1,
+                            meta=dict(
+                                classes=list(getattr(dataset, "CLASSES",
+                                                     [])),
+                                epoch=epoch + 1))
+        if eval_hook is not None:
+            eval_hook(state, epoch + 1)
+    return state

@@ -1,0 +1,105 @@
+"""Label assignment — vectorized MaxIoU assignment over padded gt sets.
+
+TPU-native equivalent of the reference's per-image MaxIoUAssigner
+(mmdet/core/bbox/assigners/max_iou_assigner.py): no Python branching on
+gt counts; invalid (padding) gts are masked with IoU = -1 so they can
+never be assigned.  Batch via jax.vmap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+
+class AssignResult(NamedTuple):
+    gt_inds: jax.Array       # [N] int32: -1 ignore, 0 negative, k>0 → gt k-1
+    max_overlaps: jax.Array  # [N] best IoU with any valid gt
+    labels: jax.Array        # [N] int32 class of assigned gt (0 if none)
+
+
+def max_iou_assign(boxes: jax.Array, gt_boxes: jax.Array,
+                   gt_valid: jax.Array,
+                   gt_labels: jax.Array | None = None,
+                   pos_iou_thr: float = 0.7,
+                   neg_iou_thr=0.3,
+                   min_pos_iou: float = 0.0,
+                   gt_max_assign_all: bool = True,
+                   box_valid: jax.Array | None = None,
+                   ignore_boxes: jax.Array | None = None,
+                   ignore_valid: jax.Array | None = None,
+                   ignore_iof_thr: float = -1.0) -> AssignResult:
+    """Assign each box to a gt (or background/ignore).
+
+    Parity with MaxIoUAssigner.assign_wrt_overlaps
+    (max_iou_assigner.py:121-199), reformulated branchlessly:
+
+      1. default -1 (ignore)
+      2. max IoU < neg_iou_thr (scalar or (lo, hi) range) → 0
+      3. max IoU ≥ pos_iou_thr → that gt
+      4. for each gt, its best-overlap boxes (IoU ≥ min_pos_iou) → that
+         gt; later gts overwrite earlier (the reference's loop order),
+         reproduced via a max over gt index.
+
+    Args:
+      boxes: [N, 4] padded candidates.
+      gt_boxes: [G, 4] padded gt.
+      gt_valid: [G] bool.
+      box_valid: [N] bool — invalid boxes always get -1.
+    """
+    n = boxes.shape[0]
+    overlaps = bbox_overlaps(gt_boxes, boxes)           # [G, N]
+    # padding gts act like "no gt" (IoU 0 → background), NOT like
+    # ignore regions (-1) — matches assign_wrt_overlaps:140-143 where
+    # zero gts send every box to background
+    overlaps = jnp.where(gt_valid[:, None], overlaps, 0.0)
+    if box_valid is not None:
+        overlaps = jnp.where(box_valid[None, :], overlaps, -1.0)
+    if ignore_boxes is not None and ignore_iof_thr > 0:
+        iof = bbox_overlaps(boxes, ignore_boxes, mode="iof")  # [N, I]
+        if ignore_valid is not None:
+            iof = jnp.where(ignore_valid[None, :], iof, -1.0)
+        ignore_hit = iof.max(axis=-1) > ignore_iof_thr
+        overlaps = jnp.where(ignore_hit[None, :], -1.0, overlaps)
+
+    max_overlaps = overlaps.max(axis=0)                 # [N]
+    argmax_overlaps = overlaps.argmax(axis=0)           # [N]
+
+    assigned = jnp.full((n,), -1, jnp.int32)
+    # step 2: negatives
+    if isinstance(neg_iou_thr, (tuple, list)):
+        lo, hi = neg_iou_thr
+        is_neg = (max_overlaps >= lo) & (max_overlaps < hi)
+    else:
+        is_neg = (max_overlaps >= 0) & (max_overlaps < neg_iou_thr)
+    assigned = jnp.where(is_neg, 0, assigned)
+    # step 3: positives by threshold
+    is_pos = max_overlaps >= pos_iou_thr
+    assigned = jnp.where(is_pos, argmax_overlaps.astype(jnp.int32) + 1,
+                         assigned)
+    # step 4: each gt claims its best boxes; later gt index wins
+    gt_max = overlaps.max(axis=1, keepdims=True)        # [G, 1]
+    claim = (overlaps == gt_max) & (gt_max >= min_pos_iou) \
+        & gt_valid[:, None]
+    if not gt_max_assign_all:
+        best_box = overlaps.argmax(axis=1)
+        only_best = jnp.zeros_like(claim).at[
+            jnp.arange(claim.shape[0]), best_box].set(True)
+        claim &= only_best
+    gt_ids = jnp.arange(1, claim.shape[0] + 1, dtype=jnp.int32)[:, None]
+    claimed = (claim * gt_ids).max(axis=0)              # [N], 0 if unclaimed
+    assigned = jnp.where(claimed > 0, claimed, assigned)
+
+    if box_valid is not None:
+        assigned = jnp.where(box_valid, assigned, -1)
+
+    if gt_labels is None:
+        labels = jnp.where(assigned > 0, 1, 0).astype(jnp.int32)
+    else:
+        safe = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
+    return AssignResult(assigned, jnp.maximum(max_overlaps, 0.0), labels)

@@ -1,0 +1,89 @@
+"""DOTA evaluation: VOC-07 AP over scene-level detections.
+
+Parity: the wwtool dota_eval_task1/task2 path invoked from
+mmdet/datasets/dota.py:416-440 (_evaluation_dota, use_07_metric=True):
+Task1 scores OBB quads with polygon IoU, Task2 scores HBB with box IoU,
+both at IoU 0.5 with 11-point AP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mean_ap import (average_precision, bbox_overlaps_np, quad_overlaps_np,
+                      tpfp_default)
+
+# per-class merge NMS thresholds (datasets/dota.py:321-324)
+HBB_MERGE_NMS_THR = {
+    "harbor": 0.4, "ship": 0.4, "small-vehicle": 0.4,
+    "large-vehicle": 0.5, "storage-tank": 0.1, "plane": 0.25,
+    "soccer-ball-field": 0.2, "bridge": 0.5, "baseball-diamond": 0.15,
+    "tennis-court": 0.2, "helicopter": 0.2, "roundabout": 0.15,
+    "swimming-pool": 0.2, "ground-track-field": 0.15,
+    "basketball-court": 0.2}
+OBB_MERGE_NMS_THR = {
+    "harbor": 0.1, "ship": 0.05, "small-vehicle": 0.15,
+    "large-vehicle": 0.5, "storage-tank": 0.35, "plane": 0.2,
+    "soccer-ball-field": 0.2, "bridge": 0.45, "baseball-diamond": 0.2,
+    "tennis-court": 0.1, "helicopter": 0.1, "roundabout": 0.15,
+    "swimming-pool": 0.05, "ground-track-field": 0.4,
+    "basketball-court": 0.2}
+
+
+def dota_eval(dets_by_scene: dict, gts_by_scene: dict, classes,
+              task: str = "obb", iou_thr: float = 0.5,
+              use_07_metric: bool = True):
+    """Evaluate scene-level detections.
+
+    Args:
+      dets_by_scene: {scene_id: dict(boxes [K, 8|4], scores [K],
+        labels [K] 0-based)}.
+      gts_by_scene: {scene_id: dict(boxes [M, 8|4], labels [M] 0-based,
+        difficult optional [M] bool)}.
+      task: 'obb' (polygon IoU) or 'hbb'.
+    Returns (mAP, {class_name: ap}).
+    """
+    iou_fn = quad_overlaps_np if task == "obb" else bbox_overlaps_np
+    dim = 8 if task == "obb" else 4
+    aps = {}
+    for c, name in enumerate(classes):
+        all_tp, all_fp, all_scores = [], [], []
+        num_gts = 0
+        for scene, gt in gts_by_scene.items():
+            gmask = np.asarray(gt["labels"]) == c
+            g = np.asarray(gt["boxes"], np.float32)[gmask] if gmask.any() \
+                else np.zeros((0, dim), np.float32)
+            diff = np.asarray(gt.get("difficult",
+                                     np.zeros(len(gt["labels"]), bool)))
+            gd = diff[gmask] if gmask.any() else np.zeros(0, bool)
+            easy = g[~gd]
+            hard = g[gd]
+            num_gts += len(easy)
+
+            det = dets_by_scene.get(scene)
+            if det is None or len(det["labels"]) == 0:
+                continue
+            dmask = np.asarray(det["labels"]) == c
+            if not dmask.any():
+                continue
+            db = np.asarray(det["boxes"], np.float32)[dmask]
+            ds = np.asarray(det["scores"], np.float32)[dmask]
+            d = np.concatenate([db, ds[:, None]], -1)
+            tp, fp = tpfp_default(d, easy, hard, iou_thr, iou_fn)
+            all_tp.append(tp)
+            all_fp.append(fp)
+            all_scores.append(ds)
+        if not all_scores or num_gts == 0:
+            aps[name] = 0.0
+            continue
+        scores = np.concatenate(all_scores)
+        order = np.argsort(-scores)
+        tp = np.cumsum(np.concatenate(all_tp)[order])
+        fp = np.cumsum(np.concatenate(all_fp)[order])
+        recalls = tp / max(num_gts, 1)
+        precisions = tp / np.maximum(tp + fp, np.finfo(np.float32).eps)
+        aps[name] = average_precision(
+            recalls, precisions, "11points" if use_07_metric else "area")
+    valid = list(aps.values())
+    mean_ap = float(np.mean(valid)) if valid else 0.0
+    return mean_ap, aps

@@ -1,0 +1,124 @@
+"""Fixed-size random/pseudo/OHEM sampling over padded candidate sets.
+
+TPU-native equivalent of the reference's samplers
+(mmdet/core/bbox/samplers/): instead of variable-length index tensors,
+sampling produces either boolean selection masks (anchor heads) or
+fixed-length index arrays with validity masks (RoI heads), so shapes
+stay static under jit.  Randomness is explicit jax.random keys.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def random_topk_mask(key: jax.Array, mask: jax.Array, k) -> jax.Array:
+    """Uniformly select up to ``k`` True entries of ``mask`` (k may be a
+    traced scalar), returned as a boolean mask."""
+    n = mask.shape[0]
+    r = jax.random.uniform(key, (n,))
+    score = jnp.where(mask, r, -1.0)
+    order = jnp.argsort(-score)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return mask & (rank < k)
+
+
+def topk_mask_by_score(mask: jax.Array, score: jax.Array, k) -> jax.Array:
+    """Select up to ``k`` True entries of ``mask`` with the highest
+    ``score`` (hard-example mining; OHEMSampler equivalent,
+    mmdet/core/bbox/samplers/ohem_sampler.py)."""
+    n = mask.shape[0]
+    s = jnp.where(mask, score, -jnp.inf)
+    order = jnp.argsort(-s)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return mask & (rank < k)
+
+
+class SampleMasks(NamedTuple):
+    pos: jax.Array       # [N] bool — selected positives
+    neg: jax.Array       # [N] bool — selected negatives
+    num_pos: jax.Array   # scalar int
+    num_neg: jax.Array   # scalar int
+
+
+def random_sample_masks(key: jax.Array, assigned: jax.Array,
+                        num: int, pos_fraction: float,
+                        neg_pos_ub: float = -1.0,
+                        neg_score: jax.Array | None = None) -> SampleMasks:
+    """Sample positives/negatives as masks over the candidate set.
+
+    Parity: RandomSampler (random_sampler.py:46-66) +
+    BaseSampler.sample (base_sampler.py:79-97): up to num*pos_fraction
+    positives uniformly, then num - n_pos negatives (optionally capped
+    at neg_pos_ub * n_pos), uniformly — or by ``neg_score`` ranking for
+    OHEM-on-negatives.
+
+    Args:
+      assigned: [N] assignment from :func:`max_iou_assign`.
+    """
+    kp, kn = jax.random.split(key)
+    pos_cand = assigned > 0
+    neg_cand = assigned == 0
+
+    num_expected_pos = int(num * pos_fraction)
+    pos = random_topk_mask(kp, pos_cand, num_expected_pos)
+    num_pos = pos.sum()
+
+    num_expected_neg = num - num_pos
+    if neg_pos_ub >= 0:
+        ub = (neg_pos_ub * jnp.maximum(num_pos, 1)).astype(jnp.int32)
+        num_expected_neg = jnp.minimum(num_expected_neg, ub)
+    if neg_score is not None:
+        neg = topk_mask_by_score(neg_cand, neg_score, num_expected_neg)
+    else:
+        neg = random_topk_mask(kn, neg_cand, num_expected_neg)
+    return SampleMasks(pos, neg, num_pos, neg.sum())
+
+
+def pseudo_sample_masks(assigned: jax.Array) -> SampleMasks:
+    """Use all positives and all negatives (PseudoSampler,
+    mmdet/core/bbox/samplers/pseudo_sampler.py) — for single-stage heads."""
+    pos = assigned > 0
+    neg = assigned == 0
+    return SampleMasks(pos, neg, pos.sum(), neg.sum())
+
+
+class FixedSample(NamedTuple):
+    """Fixed-length RoI sample for the second stage (length = num)."""
+    inds: jax.Array      # [num] int32 indices into the candidate boxes
+    is_pos: jax.Array    # [num] bool
+    valid: jax.Array     # [num] bool (False → padding slot)
+    gt_inds: jax.Array   # [num] int32 0-based assigned gt (-1 for neg/pad)
+
+
+def sample_fixed(key: jax.Array, assigned: jax.Array, num: int,
+                 pos_fraction: float, neg_pos_ub: float = -1.0) -> FixedSample:
+    """Fixed-size RoI sampling: positions [0, num*pos_fraction) hold
+    positives, the rest negatives; invalid slots are marked, never
+    dropped — the static-shape replacement for the reference's
+    variable-length SamplingResult (samplers/sampling_result.py)."""
+    kp, kn = jax.random.split(key)
+    n = assigned.shape[0]
+    num_pos_max = int(num * pos_fraction)
+
+    pos = random_topk_mask(kp, assigned > 0, num_pos_max)
+    num_pos = pos.sum()
+    num_neg = num - num_pos  # scarce positives → more negatives
+    if neg_pos_ub >= 0:
+        ub = (neg_pos_ub * jnp.maximum(num_pos, 1)).astype(jnp.int32)
+        num_neg = jnp.minimum(num_neg, ub)
+    neg = random_topk_mask(kn, assigned == 0, num_neg)
+
+    # one unified ordering: selected positives, then selected negatives,
+    # then everything else (padding slots)
+    big = jnp.float32(n)
+    rank = jnp.where(pos, 0.0, jnp.where(neg, 1.0, 2.0)) * big \
+        + jnp.arange(n, dtype=jnp.float32)
+    order = jnp.argsort(rank)[:num].astype(jnp.int32)
+    is_pos = pos[order]
+    valid = is_pos | neg[order]
+    gt = jnp.where(is_pos, assigned[order] - 1, -1)
+    return FixedSample(order, is_pos, valid, gt)

@@ -1,0 +1,97 @@
+"""COCO-format dataset on plain json (no pycocotools dependency).
+
+Parity target: mmdet/datasets/coco.py:17-196 (CocoDataset: index by
+image, _parse_ann_info) and mmdet/datasets/custom.py:13-158 (filtering,
+aspect-ratio flags).  Polygon segmentation is kept raw; rasterisation
+happens in the pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class CocoDataset:
+    CLASSES: tuple = ()
+
+    def __init__(self, ann_file: str, img_prefix: str = "",
+                 filter_empty: bool = True, min_size: int = 32,
+                 test_mode: bool = False):
+        self.ann_file = ann_file
+        self.img_prefix = img_prefix
+        self.test_mode = test_mode
+        with open(ann_file) as f:
+            coco = json.load(f)
+
+        cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
+        if not self.CLASSES:
+            self.CLASSES = tuple(c["name"] for c in cats)
+        # category id → contiguous 1-based label (reference cat2label,
+        # coco.py:37-41)
+        self.cat2label = {c["id"]: i + 1 for i, c in enumerate(cats)}
+
+        self.img_infos = coco.get("images", [])
+        anns_by_img: dict = {}
+        for a in coco.get("annotations", []):
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+        self.anns_by_img = anns_by_img
+
+        if not test_mode and filter_empty:
+            self.img_infos = [
+                info for info in self.img_infos
+                if len(anns_by_img.get(info["id"], [])) > 0
+                and min(info.get("width", 1e9),
+                        info.get("height", 1e9)) >= min_size]
+
+        # aspect-ratio group flag (custom.py:105-118)
+        self.flag = np.array(
+            [1 if i.get("width", 1) / max(i.get("height", 1), 1) > 1 else 0
+             for i in self.img_infos], np.uint8)
+
+    def __len__(self):
+        return len(self.img_infos)
+
+    def img_path(self, idx):
+        return os.path.join(self.img_prefix,
+                            self.img_infos[idx]["file_name"])
+
+    def parse_anns(self, idx):
+        """Per-image annotation dict with numpy arrays.
+
+        Parity: CocoDataset._parse_ann_info (coco.py:67-140): skip
+        ignore/crowd into bboxes_ignore, xywh→xyxy corners.
+        """
+        info = self.img_infos[idx]
+        anns = self.anns_by_img.get(info["id"], [])
+        boxes, labels, segs, ignores, pointobbs = [], [], [], [], []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            if a.get("area", w * h) <= 0 or w < 1 or h < 1:
+                continue
+            box = [x, y, x + w - 1, y + h - 1]
+            if a.get("iscrowd", 0) or a.get("ignore", 0):
+                ignores.append(box)
+                continue
+            boxes.append(box)
+            labels.append(self.cat2label[a["category_id"]])
+            segs.append(a.get("segmentation"))
+            if "pointobb" in a:
+                pointobbs.append(a["pointobb"])
+
+        def arr(x, d, dt=np.float32):
+            return (np.asarray(x, dt) if x
+                    else np.zeros((0, d), dt))
+        out = dict(
+            bboxes=arr(boxes, 4),
+            labels=(np.asarray(labels, np.int32) if labels
+                    else np.zeros((0,), np.int32)),
+            bboxes_ignore=arr(ignores, 4),
+            segmentations=segs,
+            width=info.get("width"), height=info.get("height"),
+            filename=info["file_name"])
+        if pointobbs:
+            out["pointobbs"] = arr(pointobbs, 8)
+        return out

@@ -1,0 +1,168 @@
+"""Host-side data pipeline: deterministic numpy transforms → padded,
+statically-shaped device batches.
+
+TPU-native rework of the reference pipeline
+(mmdet/datasets/pipelines/transforms.py, formating.py): instead of
+DataContainers with ragged tensors, every sample is padded to
+(img_size², MAX_GT) so batches feed one compiled program.  OBB
+augmentation parity: flips re-canonicalise pointobbs
+(transforms.py:276-306), Pointobb2RBBox converts gt to the head's
+encoding (transforms.py:1020-1096).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import rboxes as R
+
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def normalize_image(img, mean=IMAGENET_MEAN, std=IMAGENET_STD, to_rgb=True):
+    """Parity: pipelines Normalize (transforms.py:405-433)."""
+    img = img.astype(np.float32)
+    if to_rgb and img.shape[-1] == 3:
+        img = img[..., ::-1]
+    return (img - mean) / std
+
+
+def _np_best_point_sort(pointobbs):
+    if len(pointobbs) == 0:
+        return pointobbs
+    import jax.numpy as jnp
+    return np.asarray(R.pointobb_best_point_sort(jnp.asarray(pointobbs)))
+
+
+def resize_keep_ratio(img, target: int):
+    """Resize long edge to target, keep aspect (Resize keep_ratio=True,
+    transforms.py:27-112). Returns (img, scale_factor)."""
+    import cv2
+    h, w = img.shape[:2]
+    scale = min(target / h, target / w)
+    nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+    out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    return out, scale
+
+
+class TrainPipeline:
+    """load → resize → flip → normalize → pad → fixed-gt pack."""
+
+    def __init__(self, img_size: int = 1024, max_gt: int = 256,
+                 flip_ratio: float = 0.5, with_rbox: bool = True,
+                 rbox_encode: str = "thetaobb",
+                 with_mask: bool = False, mask_size: int = 0,
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD, seed: int = 0):
+        self.img_size = img_size
+        self.max_gt = max_gt
+        self.flip_ratio = flip_ratio
+        self.with_rbox = with_rbox
+        self.rbox_encode = rbox_encode
+        self.with_mask = with_mask
+        self.mask_size = mask_size or img_size // 4
+        self.mean, self.std = mean, std
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, img, anns):
+        """img: HWC uint8 BGR (cv2 convention); anns: dict from dataset."""
+        size = self.img_size
+        img, scale = resize_keep_ratio(img, size)
+        boxes = anns["bboxes"] * scale
+        pointobbs = anns.get("pointobbs")
+        if pointobbs is not None and len(pointobbs):
+            pointobbs = pointobbs * scale
+
+        flip = self.rng.rand() < self.flip_ratio
+        h, w = img.shape[:2]
+        if flip:
+            img = img[:, ::-1]
+            x1 = w - boxes[:, 2] - 1
+            x2 = w - boxes[:, 0] - 1
+            boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], -1)
+            if pointobbs is not None and len(pointobbs):
+                import jax.numpy as jnp
+                pointobbs = np.asarray(
+                    R.pointobb_flip(jnp.asarray(pointobbs), (h, w)))
+
+        img = normalize_image(img, self.mean, self.std)
+        padded = np.zeros((size, size, img.shape[-1]), np.float32)
+        padded[:h, :w] = img
+
+        g = self.max_gt
+        n = min(len(boxes), g)
+        out_boxes = np.zeros((g, 4), np.float32)
+        out_boxes[:n] = boxes[:n]
+        out_labels = np.zeros((g,), np.int32)
+        out_labels[:n] = anns["labels"][:n]
+        out_valid = np.zeros((g,), bool)
+        out_valid[:n] = True
+
+        sample = dict(imgs=padded, gt_boxes=out_boxes, gt_labels=out_labels,
+                      gt_valid=out_valid,
+                      img_shapes=np.asarray([h, w], np.float32))
+
+        if self.with_rbox and pointobbs is not None:
+            import jax.numpy as jnp
+            p = _np_best_point_sort(pointobbs[:n]) if n else \
+                np.zeros((0, 8), np.float32)
+            d = {"thetaobb": 5, "pointobb": 8, "hobb": 5}[self.rbox_encode]
+            out_r = np.zeros((g, d), np.float32)
+            if n:
+                if self.rbox_encode == "pointobb":
+                    out_r[:n] = p
+                elif self.rbox_encode == "thetaobb":
+                    out_r[:n] = np.asarray(
+                        R.pointobb2thetaobb(jnp.asarray(p)))
+                else:
+                    out_r[:n] = np.asarray(
+                        R.pointobb2hobb(jnp.asarray(p)))
+            sample["gt_rboxes"] = out_r
+
+        if self.with_mask:
+            ms = self.mask_size
+            masks = np.zeros((g, ms, ms), np.float32)
+            if n and pointobbs is not None:
+                masks[:n] = rasterize_polygons(
+                    pointobbs[:n], (h, w), ms)
+            sample["gt_masks"] = masks
+        return sample
+
+
+class TestPipeline:
+    def __init__(self, img_size: int = 1024,
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.img_size = img_size
+        self.mean, self.std = mean, std
+
+    def __call__(self, img):
+        size = self.img_size
+        img, scale = resize_keep_ratio(img, size)
+        h, w = img.shape[:2]
+        img = normalize_image(img, self.mean, self.std)
+        padded = np.zeros((size, size, img.shape[-1]), np.float32)
+        padded[:h, :w] = img
+        return dict(imgs=padded,
+                    img_shapes=np.asarray([h, w], np.float32),
+                    scale_factors=np.asarray(scale, np.float32))
+
+
+def rasterize_polygons(pointobbs, img_hw, mask_size):
+    """Rasterise quads to binary masks at mask_size² resolution over the
+    full image extent (mask targets are later roi-cropped on device)."""
+    import cv2
+    h, w = img_hw
+    n = len(pointobbs)
+    out = np.zeros((n, mask_size, mask_size), np.float32)
+    sy = mask_size / h
+    sx = mask_size / w
+    for i, p in enumerate(pointobbs):
+        pts = np.round(p.reshape(4, 2) * [sx, sy]).astype(np.int32)
+        cv2.fillPoly(out[i], [pts], 1.0)
+    return out
+
+
+def collate_batch(samples: list) -> dict:
+    """Stack per-sample dicts into [B, ...] numpy arrays."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}

@@ -1,0 +1,108 @@
+"""Gigapixel-scene handling: tiling + patch→scene merge.
+
+First-class rework of the reference's offline-tiling + external-wwtool
+merge (SURVEY.md §5.7; mmdet/datasets/dota.py:310-336 merge_txt with
+per-class NMS thresholds): tiles are produced by a sliding window, and
+scene-level results are reconstituted by lifting patch detections and
+running global per-class rotated NMS — here implemented natively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def tile_coords(height: int, width: int, patch: int = 1024,
+                overlap: int = 200):
+    """Top-left corners of a sliding window covering the scene."""
+    stride = patch - overlap
+    xs = list(range(0, max(width - overlap, 1), stride))
+    ys = list(range(0, max(height - overlap, 1), stride))
+    # snap last windows inside the scene
+    if xs and xs[-1] + patch > width:
+        xs[-1] = max(width - patch, 0)
+    if ys and ys[-1] + patch > height:
+        ys[-1] = max(height - patch, 0)
+    return [(x, y) for y in sorted(set(ys)) for x in sorted(set(xs))]
+
+
+def tile_image(img: np.ndarray, patch: int = 1024, overlap: int = 200):
+    """Slice a scene into fixed-size patches (zero-padded at borders).
+
+    Returns (patches [N, patch, patch, C], offsets [N, 2] (x, y)).
+    """
+    h, w = img.shape[:2]
+    coords = tile_coords(h, w, patch, overlap)
+    n = len(coords)
+    c = img.shape[2] if img.ndim == 3 else 1
+    patches = np.zeros((n, patch, patch, c), img.dtype)
+    offs = np.zeros((n, 2), np.float32)
+    for i, (x, y) in enumerate(coords):
+        tile = img[y:y + patch, x:x + patch]
+        patches[i, :tile.shape[0], :tile.shape[1]] = \
+            tile if tile.ndim == 3 else tile[..., None]
+        offs[i] = (x, y)
+    return patches, offs
+
+
+def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
+                           iou_thr=0.3, box_type: str = "quad",
+                           score_thr: float = 0.05, max_keep: int = 2000):
+    """Lift patch detections to scene coords + global per-class NMS.
+
+    Replaces wwtool mergebypoly_mp/mergebyrec_mp (datasets/dota.py:
+    310-336): per-class thresholds supported via an ``iou_thr`` dict
+    {label: thr} or scalar.
+
+    Args:
+      dets_per_patch: list of dicts with numpy 'boxes'([K,4] or quads
+        [K,8]), 'scores'[K], 'labels'[K], 'valid'[K].
+      offsets: [N, 2] patch origins (x, y).
+    Returns dict(boxes, scores, labels) of scene-level detections.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.nms import nms as hbb_nms, rnms
+
+    all_boxes, all_scores, all_labels = [], [], []
+    for det, (ox, oy) in zip(dets_per_patch, offsets):
+        v = np.asarray(det["valid"]).astype(bool)
+        if not v.any():
+            continue
+        b = np.asarray(det["boxes"])[v].astype(np.float32)
+        if box_type == "quad":
+            shift = np.tile([ox, oy], b.shape[-1] // 2)
+        else:
+            shift = np.asarray([ox, oy, ox, oy], np.float32)
+        all_boxes.append(b + shift)
+        all_scores.append(np.asarray(det["scores"])[v])
+        all_labels.append(np.asarray(det["labels"])[v])
+    if not all_boxes:
+        d = 8 if box_type == "quad" else 4
+        return dict(boxes=np.zeros((0, d), np.float32),
+                    scores=np.zeros((0,), np.float32),
+                    labels=np.zeros((0,), np.int32))
+
+    boxes = np.concatenate(all_boxes)
+    scores = np.concatenate(all_scores).astype(np.float32)
+    labels = np.concatenate(all_labels).astype(np.int32)
+
+    keep_mask = np.zeros(len(boxes), bool)
+    for c in range(num_classes):
+        sel = np.nonzero((labels == c) & (scores > score_thr))[0]
+        if len(sel) == 0:
+            continue
+        thr = iou_thr[c] if isinstance(iou_thr, dict) else iou_thr
+        cb = jnp.asarray(boxes[sel])
+        cs = jnp.asarray(scores[sel])
+        if box_type == "quad":
+            k = np.asarray(rnms(cb, cs, float(thr)))
+        else:
+            k = np.asarray(hbb_nms(cb, cs, float(thr)))
+        keep_mask[sel[k]] = True
+
+    keep = np.nonzero(keep_mask)[0]
+    if len(keep) > max_keep:
+        keep = keep[np.argsort(-scores[keep])[:max_keep]]
+    return dict(boxes=boxes[keep], scores=scores[keep],
+                labels=labels[keep])

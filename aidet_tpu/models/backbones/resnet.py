@@ -1,0 +1,158 @@
+"""ResNet backbone, TPU-native flax implementation.
+
+Behavioral parity with the reference's ResNet
+(mmdet/models/backbones/resnet.py:306-494): pytorch-style bottlenecks
+(stride on the 3x3), stem 7x7/2 + maxpool/2, per-stage strides/
+dilations, multi-level outputs (C2..C5), frozen batch-norm.
+
+TPU-first choices: NHWC layout, optional bf16 compute with fp32
+norm/params, BN realised as FrozenBN (affine transform with running
+statistics as non-trainable variables — detection fine-tuning never
+updates BN stats in the reference either, norm_eval=True default).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..registry import BACKBONES
+
+
+class FrozenBN(nn.Module):
+    """Affine normalization with frozen running statistics.
+
+    Equivalent to the reference's BN under norm_eval=True +
+    requires_grad handling (resnet.py frozen_stages / norm_eval):
+    statistics live in the 'batch_stats' collection and are never
+    updated by the train step; scale/bias are ordinary params.
+    """
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32)).value
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return y.astype(self.dtype)
+
+
+def conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)],
+                   kernel_dilation=(dilation, dilation), use_bias=False,
+                   dtype=dtype, name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv(self.planes, 3, self.stride, self.dilation,
+                   "conv1", self.dtype)(x)
+        out = FrozenBN(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, self.dilation, "conv2", self.dtype)(out)
+        out = FrozenBN(dtype=self.dtype, name="bn2")(out)
+        if self.downsample:
+            identity = conv(self.planes, 1, self.stride, 1,
+                            "ds_conv", self.dtype)(x)
+            identity = FrozenBN(dtype=self.dtype, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv(self.planes, 1, 1, 1, "conv1", self.dtype)(x)
+        out = FrozenBN(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        # pytorch style: spatial stride on the 3x3 (resnet.py Bottleneck)
+        out = conv(self.planes, 3, self.stride, self.dilation,
+                   "conv2", self.dtype)(out)
+        out = FrozenBN(dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, 1, 1, "conv3", self.dtype)(out)
+        out = FrozenBN(dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.planes * 4, 1, self.stride, 1,
+                            "ds_conv", self.dtype)(x)
+            identity = FrozenBN(dtype=self.dtype, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+ARCH_SETTINGS = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register
+class ResNet(nn.Module):
+    """Multi-stage ResNet returning the feature maps named by
+    ``out_indices`` (0→C2/stride4 ... 3→C5/stride32)."""
+    depth: int = 50
+    num_stages: int = 4
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    base_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+    # accepted for config parity; frozen-BN makes them no-ops here
+    frozen_stages: int = 1
+    norm_eval: bool = True
+    style: str = "pytorch"
+    pretrained: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        x = x.astype(self.dtype)
+        x = conv(self.base_channels, 7, 2, 1, "stem_conv", self.dtype)(x)
+        x = FrozenBN(dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outs = []
+        for i in range(self.num_stages):
+            planes = self.base_channels * 2 ** i
+            for b in range(stage_blocks[i]):
+                stride = self.strides[i] if b == 0 else 1
+                x = block_cls(
+                    planes=planes, stride=stride,
+                    dilation=self.dilations[i],
+                    downsample=(b == 0),
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}_block{b}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

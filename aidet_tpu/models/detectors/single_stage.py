@@ -1,0 +1,112 @@
+"""Single-stage detectors (parity: mmdet/models/detectors/
+single_stage.py:10-85 + retinanet.py): backbone → neck → dense head;
+loss via focal + smooth-L1 on all anchors (no sampling)."""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.anchors import build_pyramid_anchors
+from ..builder import build_backbone, build_head, build_neck
+from ..heads.anchor_head import (anchor_head_bboxes, anchor_head_loss,
+                                 flatten_level_outputs)
+from ..losses import FocalLoss, SmoothL1Loss
+from ..registry import DETECTORS
+
+DEFAULT_TRAIN_CFG = dict(
+    assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0),
+    allowed_border=-1, pos_weight=-1)
+DEFAULT_TEST_CFG = dict(nms_pre=1000, score_thr=0.05, nms_thr=0.5,
+                        max_per_img=100)
+
+
+@DETECTORS.register
+class SingleStageDetector(nn.Module):
+    backbone: Any = None
+    neck: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    img_size: int = 1024
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    anchor_scales: Sequence[float] = (4, 5.0396842, 6.3496042)
+    anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    target_means: Sequence[float] = (0., 0., 0., 0.)
+    target_stds: Sequence[float] = (1., 1., 1., 1.)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self._backbone = build_backbone(self.backbone or dict(
+            type="ResNet", depth=50, dtype=self.dtype))
+        self._neck = build_neck(self.neck or dict(
+            type="FPN", num_outs=5, start_level=1,
+            add_extra_convs=True, dtype=self.dtype))
+        self._head = build_head(self.bbox_head or dict(
+            type="RetinaHead", num_classes=16,
+            num_anchors=len(self.anchor_scales) * len(self.anchor_ratios),
+            dtype=self.dtype))
+        anchors, sizes = build_pyramid_anchors(
+            self.img_size, self.strides,
+            base_sizes=[s // 2 for s in self.strides],
+            scales=self.anchor_scales, ratios=self.anchor_ratios)
+        self._anchors = anchors
+        self._level_sizes = sizes
+        tc = dict(DEFAULT_TRAIN_CFG)
+        tc.update(self.train_cfg or {})
+        self._tc = tc
+        ec = dict(DEFAULT_TEST_CFG)
+        ec.update(self.test_cfg or {})
+        self._ec = ec
+        self._cls_loss = FocalLoss(gamma=2.0, alpha=0.25)
+        self._bbox_loss = SmoothL1Loss(beta=0.11)
+
+    def extract_feat(self, imgs):
+        return self._neck(self._backbone(imgs))
+
+    def __call__(self, imgs):
+        feats = self.extract_feat(imgs)
+        return self._head(feats)
+
+    def loss(self, imgs, gt_boxes, gt_valid, gt_labels, img_shapes):
+        feats = self.extract_feat(imgs)
+        cls_out, reg_out = self._head(feats)
+        cls_flat, reg_flat = flatten_level_outputs(
+            cls_out, reg_out, self._head.cls_out_channels)
+        key = self.make_rng("sampling")
+        return anchor_head_loss(
+            cls_flat, reg_flat, self._anchors,
+            gt_boxes, gt_valid, img_shapes, key,
+            gt_labels=gt_labels,
+            target_means=tuple(self.target_means),
+            target_stds=tuple(self.target_stds),
+            cls_loss=self._cls_loss, bbox_loss=self._bbox_loss,
+            assigner_cfg=self._tc["assigner"],
+            allowed_border=self._tc["allowed_border"],
+            pos_weight=self._tc["pos_weight"],
+            sampling=False, use_sigmoid_cls=True)
+
+    def predict(self, imgs, img_shapes, scale_factors=None):
+        feats = self.extract_feat(imgs)
+        cls_out, reg_out = self._head(feats)
+        cls_flat, reg_flat = flatten_level_outputs(
+            cls_out, reg_out, self._head.cls_out_channels)
+        res = anchor_head_bboxes(
+            cls_flat, reg_flat, self._anchors, self._level_sizes,
+            img_shapes,
+            nms_pre=self._ec["nms_pre"], score_thr=self._ec["score_thr"],
+            nms_thr=self._ec["nms_thr"],
+            max_per_img=self._ec["max_per_img"],
+            target_means=tuple(self.target_means),
+            target_stds=tuple(self.target_stds),
+            use_sigmoid_cls=True, rescale_factors=scale_factors)
+        return dict(boxes=res.boxes, scores=res.scores, labels=res.labels,
+                    valid=res.valid)
+
+
+@DETECTORS.register(name="RetinaNet")
+def RetinaNet(**kwargs):
+    return SingleStageDetector(**kwargs)

@@ -1,0 +1,420 @@
+"""Two-stage detector family: Faster/Mask R-CNN + the OBB variants.
+
+TPU-native redesign of the reference detectors
+(mmdet/models/detectors/two_stage.py:12-353, rbbox_cnn.py:15-253,
+mask_obb.py:5-31, centermap_obb.py:19-543):
+
+- ONE jit-able train step: no per-image Python loops — assignment,
+  sampling, RoIAlign and losses are vmapped over the padded batch.
+- Proposals are fixed-size (max_num slots + validity), gt boxes are
+  padded [B, G, ...]; the second stage samples a fixed R rois/image.
+- The rotated branch (RBBoxRCNN) and mask branch (MaskRCNN/MaskOBB/
+  CenterMapOBB) ride the same sampled rois; at test time the rotated
+  decode reuses the HBB NMS keep provenance exactly like the
+  reference's "parallel" path (rbbox_cnn.py:214-243).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.anchors import build_pyramid_anchors
+from ...core.assign import max_iou_assign
+from ...core.sample import sample_fixed
+from ...core.targets import bbox_target, mask_target, rbbox_target
+from ...ops.nms import multiclass_nms, select_parallel_rboxes
+from ...ops.roi_align import multilevel_roi_align
+from ..builder import build_backbone, build_head, build_neck
+from ..heads.anchor_head import (anchor_head_loss, flatten_level_outputs,
+                                 rpn_proposals)
+from ..heads.bbox_head import (bbox_head_decode, bbox_head_loss,
+                               rbbox_head_decode)
+from ..losses import (CenterMapLoss, CrossEntropyLoss, SmoothL1Loss,
+                      mask_cross_entropy)
+from ..registry import DETECTORS
+
+# defaults mirroring configs/dota/dota_v002_theta_obb_r50_v1_train.py
+DEFAULT_TRAIN_CFG: dict = dict(
+    rpn=dict(pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+             num_samples=256, pos_fraction=0.5, neg_pos_ub=-1,
+             allowed_border=0, pos_weight=-1),
+    rpn_proposal=dict(nms_pre=2000, nms_post=2000, max_num=2000,
+                      nms_thr=0.7, min_bbox_size=0),
+    rcnn=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
+              num_samples=512, pos_fraction=0.25, neg_pos_ub=-1,
+              pos_weight=-1, mask_size=28),
+)
+
+DEFAULT_TEST_CFG: dict = dict(
+    rpn=dict(nms_pre=2000, nms_post=2000, max_num=2000, nms_thr=0.7,
+             min_bbox_size=0),
+    rcnn=dict(score_thr=0.05, nms_thr=0.5, max_per_img=100),
+)
+
+RPN_TARGET_STDS = (1.0, 1.0, 1.0, 1.0)
+RCNN_TARGET_MEANS = (0.0, 0.0, 0.0, 0.0)
+RCNN_TARGET_STDS = (0.1, 0.1, 0.2, 0.2)
+
+
+def _merge(default: dict, override) -> dict:
+    from collections.abc import Mapping
+    out = {k: dict(v) if isinstance(v, Mapping) else v
+           for k, v in default.items()}
+    for k, v in (override or {}).items():
+        if isinstance(v, Mapping) and isinstance(out.get(k), dict):
+            out[k].update(v)
+        else:
+            out[k] = v
+    return out
+
+
+@DETECTORS.register
+class TwoStageDetector(nn.Module):
+    """Configurable two-stage detector (the whole R-CNN family)."""
+    backbone: Any = None
+    neck: Any = None
+    rpn_head: Any = None
+    bbox_head: Any = None
+    rbbox_head: Any = None        # RBBoxRCNN branch
+    mask_head: Any = None         # Mask R-CNN / MaskOBB / CenterMap branch
+    train_cfg: Any = None
+    test_cfg: Any = None
+    img_size: int = 1024
+    strides: Sequence[int] = (4, 8, 16, 32, 64)
+    anchor_scales: Sequence[int] = (8,)
+    anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    rbbox_encode: str = "thetaobb"
+    mask_loss_type: str = "bce"   # 'bce' (Mask R-CNN) | 'centermap'
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self._backbone = build_backbone(self.backbone or dict(
+            type="ResNet", depth=50, dtype=self.dtype))
+        self._neck = build_neck(self.neck or dict(
+            type="FPN", num_outs=5, dtype=self.dtype))
+        self._rpn = build_head(self.rpn_head or dict(
+            type="RPNHead", num_anchors=len(self.anchor_scales)
+            * len(self.anchor_ratios), dtype=self.dtype))
+        self._bbox_head = build_head(self.bbox_head or dict(
+            type="SharedFCBBoxHead", num_classes=16, dtype=self.dtype))
+        self._rbbox_head = (build_head(self.rbbox_head)
+                            if self.rbbox_head else None)
+        self._mask_head = (build_head(self.mask_head)
+                           if self.mask_head else None)
+        anchors, sizes = build_pyramid_anchors(
+            self.img_size, self.strides,
+            scales=self.anchor_scales, ratios=self.anchor_ratios)
+        self._anchors = anchors
+        self._level_sizes = sizes
+        self._tc = _merge(DEFAULT_TRAIN_CFG, self.train_cfg)
+        self._ec = _merge(DEFAULT_TEST_CFG, self.test_cfg)
+
+        self._rpn_cls_loss = CrossEntropyLoss(use_sigmoid=True)
+        self._rpn_bbox_loss = SmoothL1Loss(beta=1.0 / 9.0)
+        self._rcnn_cls_loss = CrossEntropyLoss()
+        self._rcnn_bbox_loss = SmoothL1Loss(beta=1.0)
+        self._centermap_loss = CenterMapLoss()
+
+    # ------------------------------------------------------------------
+    def extract_feat(self, imgs):
+        return self._neck(self._backbone(imgs))
+
+    def __call__(self, imgs):
+        """Init/dummy path: touches every submodule so ``init`` creates
+        all params (mirrors forward_dummy, two_stage.py:97-128)."""
+        feats = self.extract_feat(imgs)
+        rpn_cls, rpn_reg = self._rpn(feats)
+        b = imgs.shape[0]
+        dummy_rois = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 100.0, 100.0]], self.dtype), (4, 1))
+        crops = multilevel_roi_align(
+            [f[0] for f in feats[:4]], dummy_rois,
+            out_size=self._bbox_head.roi_feat_size,
+            featmap_strides=tuple(self.strides[:4]))
+        cls_score, bbox_pred = self._bbox_head(crops)
+        outs = (rpn_cls, rpn_reg, cls_score, bbox_pred)
+        if self._rbbox_head is not None:
+            outs += self._rbbox_head(crops)
+        if self._mask_head is not None:
+            mcrops = multilevel_roi_align(
+                [f[0] for f in feats[:4]], dummy_rois, out_size=14,
+                featmap_strides=tuple(self.strides[:4]))
+            outs += (self._mask_head(mcrops),)
+        return outs
+
+    # ------------------------------------------------------------------
+    def _roi_features(self, feats, rois_b, out_size):
+        """Batched multi-level RoIAlign: feats are [B, H, W, C] lists,
+        rois_b [B, R, 4] → [B, R, s, s, C]."""
+        lvl4 = feats[:4]
+        strides = tuple(self.strides[:4])
+
+        def per_image(per_img_feats, rois):
+            return multilevel_roi_align(per_img_feats, rois,
+                                        out_size=out_size,
+                                        featmap_strides=strides)
+        return jax.vmap(per_image)(list(lvl4), rois_b)
+
+    def loss(self, imgs, gt_boxes, gt_valid, gt_labels, img_shapes,
+             gt_rboxes=None, gt_masks=None, gt_mask_weights=None):
+        """Full training loss (parity: forward_train,
+        two_stage.py:130-260 / rbbox_cnn.py:93-209).
+
+        Args:
+          imgs: [B, S, S, 3]; gt_boxes [B, G, 4]; gt_valid [B, G];
+          gt_labels [B, G] (1-based); img_shapes [B, 2];
+          gt_rboxes [B, G, D] (rotated branch);
+          gt_masks [B, G, Hm, Wm] (mask branch — binary for BCE,
+          soft centermaps for the CenterMap loss);
+          gt_mask_weights [B, G, Hm, Wm] optional per-pixel weights.
+        """
+        tc = self._tc
+        feats = self.extract_feat(imgs)
+        rpn_cls, rpn_reg = self._rpn(feats)
+        cls_flat, reg_flat = flatten_level_outputs(
+            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+
+        key = self.make_rng("sampling")
+        k_rpn, k_rcnn = jax.random.split(key)
+
+        losses = {}
+        rpn_cfg = dict(tc["rpn"])
+        rpn_losses = anchor_head_loss(
+            cls_flat, reg_flat, self._anchors,
+            gt_boxes, gt_valid, img_shapes, k_rpn,
+            gt_labels=None,
+            target_stds=RPN_TARGET_STDS,
+            cls_loss=self._rpn_cls_loss, bbox_loss=self._rpn_bbox_loss,
+            assigner_cfg=dict(
+                pos_iou_thr=rpn_cfg["pos_iou_thr"],
+                neg_iou_thr=rpn_cfg["neg_iou_thr"],
+                min_pos_iou=rpn_cfg["min_pos_iou"]),
+            sampler_cfg=dict(
+                num_samples=rpn_cfg["num_samples"],
+                pos_fraction=rpn_cfg["pos_fraction"],
+                neg_pos_ub=rpn_cfg["neg_pos_ub"]),
+            allowed_border=rpn_cfg["allowed_border"],
+            pos_weight=rpn_cfg["pos_weight"],
+            use_sigmoid_cls=True)
+        losses["loss_rpn_cls"] = rpn_losses["loss_cls"]
+        losses["loss_rpn_bbox"] = rpn_losses["loss_bbox"]
+
+        # proposals (no grad through them, like the reference)
+        props, prop_scores, prop_valid = rpn_proposals(
+            jax.lax.stop_gradient(cls_flat),
+            jax.lax.stop_gradient(reg_flat),
+            self._anchors, self._level_sizes, img_shapes,
+            **tc["rpn_proposal"])
+
+        # stage 2: assign + sample per image (add gt as proposals,
+        # base_sampler.py:69-76)
+        rc = tc["rcnn"]
+        cand = jnp.concatenate([gt_boxes, props], axis=1)
+        cand_valid = jnp.concatenate([gt_valid, prop_valid], axis=1)
+        b = imgs.shape[0]
+        keys = jax.random.split(k_rcnn, b)
+
+        def sample_one(cand_i, cand_valid_i, gt_i, gtv_i, k):
+            res = max_iou_assign(
+                cand_i, gt_i, gtv_i, None,
+                pos_iou_thr=rc["pos_iou_thr"],
+                neg_iou_thr=rc["neg_iou_thr"],
+                min_pos_iou=rc["min_pos_iou"],
+                box_valid=cand_valid_i)
+            return sample_fixed(k, res.gt_inds, rc["num_samples"],
+                                rc["pos_fraction"], rc["neg_pos_ub"])
+
+        sample = jax.vmap(sample_one)(cand, cand_valid, gt_boxes,
+                                      gt_valid, keys)
+        rois = jnp.take_along_axis(
+            cand, sample.inds[..., None], axis=1)          # [B, R, 4]
+
+        crops = self._roi_features(
+            feats, rois, self._bbox_head.roi_feat_size)     # [B,R,s,s,C]
+        r = rc["num_samples"]
+        cls_score, bbox_pred = self._bbox_head(
+            crops.reshape((b * r,) + crops.shape[2:]))
+
+        tgt = jax.vmap(lambda s, ro, g, gl: bbox_target(
+            s, ro, g, gl, RCNN_TARGET_MEANS, RCNN_TARGET_STDS,
+            rc["pos_weight"]))(sample, rois, gt_boxes, gt_labels)
+        flat_tgt = jax.tree.map(
+            lambda x: x.reshape((b * r,) + x.shape[2:]), tgt)
+        loss_cls, loss_bbox = bbox_head_loss(
+            cls_score, bbox_pred, flat_tgt,
+            self._rcnn_cls_loss, self._rcnn_bbox_loss,
+            self._bbox_head.num_classes,
+            self._bbox_head.reg_class_agnostic)
+        losses["loss_cls"] = loss_cls
+        losses["loss_bbox"] = loss_bbox
+
+        # rotated branch (rbbox_cnn.py:192-209)
+        if self._rbbox_head is not None:
+            rcls, rreg = self._rbbox_head(
+                crops.reshape((b * r,) + crops.shape[2:]))
+            rtgt = jax.vmap(lambda s, ro, g, gl: rbbox_target(
+                s, ro, g, gl, self.rbbox_encode,
+                pos_weight=rc["pos_weight"]))(
+                    sample, rois, gt_rboxes, gt_labels)
+            flat_rtgt = jax.tree.map(
+                lambda x: x.reshape((b * r,) + x.shape[2:]), rtgt)
+            rloss_cls, rloss_bbox = bbox_head_loss(
+                rcls, rreg, flat_rtgt,
+                self._rcnn_cls_loss, self._rcnn_bbox_loss,
+                self._rbbox_head.num_classes,
+                self._rbbox_head.reg_class_agnostic,
+                box_dim=self._rbbox_head.out_dim_reg)
+            losses["loss_rbbox_cls"] = rloss_cls
+            losses["loss_rbbox"] = rloss_bbox
+
+        # mask branch on positive rois (two_stage.py:225-259)
+        if self._mask_head is not None:
+            p_max = int(rc["num_samples"] * rc["pos_fraction"])
+            pos_rois = rois[:, :p_max]                      # positives first
+            pos_sample = jax.tree.map(lambda x: x[:, :p_max], sample)
+            mcrops = self._roi_features(feats, pos_rois, 14)
+            mask_pred = self._mask_head(
+                mcrops.reshape((b * p_max,) + mcrops.shape[2:]))
+            # target size must equal the head's output resolution
+            # (roi 14 × upsample; 28 in the reference configs)
+            msize = 14 * self._mask_head.upsample_ratio
+            # gt_masks may be rasterised below image resolution; scale
+            # rois into mask coordinates before cropping
+            mscale = gt_masks.shape[-1] / self.img_size
+            mtgt = jax.vmap(lambda s, ro, m: mask_target(
+                s, ro * mscale, m, msize))(
+                    pos_sample, pos_rois, gt_masks)
+            mtgt = mtgt.reshape((b * p_max,) + mtgt.shape[2:])
+            pos_labels = jax.vmap(
+                lambda s, gl: jnp.where(
+                    s.is_pos, gl[jnp.clip(s.gt_inds, 0, gl.shape[0] - 1)],
+                    0))(pos_sample, gt_labels).reshape(-1)
+            is_pos = pos_sample.is_pos.reshape(-1)
+            navg = jnp.maximum(is_pos.sum(), 1.0) * msize ** 2
+            if self.mask_loss_type == "centermap":
+                if gt_mask_weights is not None:
+                    mw = jax.vmap(lambda s, ro, m: mask_target(
+                        s, ro, m, rc["mask_size"]))(
+                            pos_sample, pos_rois, gt_mask_weights)
+                    mw = mw.reshape(mtgt.shape)
+                else:
+                    mw = None
+                losses["loss_mask"] = self._centermap_loss(
+                    mask_pred, mtgt, pos_labels, mask_weight=mw,
+                    roi_weight=is_pos.astype(jnp.float32),
+                    avg_factor=navg)
+            else:
+                losses["loss_mask"] = mask_cross_entropy(
+                    mask_pred, mtgt, pos_labels,
+                    weight=is_pos[:, None, None].astype(jnp.float32),
+                    avg_factor=navg)
+        return losses
+
+    # ------------------------------------------------------------------
+    def predict(self, imgs, img_shapes, scale_factors=None):
+        """Batched inference (parity: simple_test, two_stage.py:295-317
+        + the rotated parallel path rbbox_cnn.py:214-243).
+
+        Returns a dict of fixed-size padded results per image.
+        """
+        ec = self._ec
+        feats = self.extract_feat(imgs)
+        rpn_cls, rpn_reg = self._rpn(feats)
+        cls_flat, reg_flat = flatten_level_outputs(
+            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+        props, _, prop_valid = rpn_proposals(
+            cls_flat, reg_flat, self._anchors, self._level_sizes,
+            img_shapes, **ec["rpn"])
+
+        b, p = props.shape[:2]
+        crops = self._roi_features(
+            feats, props, self._bbox_head.roi_feat_size)
+        cls_score, bbox_pred = self._bbox_head(
+            crops.reshape((b * p,) + crops.shape[2:]))
+        cls_score = cls_score.reshape(b, p, -1)
+        bbox_pred = bbox_pred.reshape(b, p, -1)
+
+        rc = ec["rcnn"]
+
+        def decode_one(rois_i, cls_i, pred_i, shape_i, valid_i):
+            boxes, scores = bbox_head_decode(
+                rois_i, cls_i, pred_i, RCNN_TARGET_MEANS, RCNN_TARGET_STDS,
+                img_shape=shape_i,
+                reg_class_agnostic=self._bbox_head.reg_class_agnostic)
+            return multiclass_nms(boxes, scores, rc["score_thr"],
+                                  rc["nms_thr"], rc["max_per_img"],
+                                  valid=valid_i)
+        dets = jax.vmap(decode_one)(props, cls_score, bbox_pred,
+                                    img_shapes, prop_valid)
+        out = dict(boxes=dets.boxes, scores=dets.scores,
+                   labels=dets.labels, valid=dets.valid)
+
+        if self._rbbox_head is not None:
+            rcls, rreg = self._rbbox_head(
+                crops.reshape((b * p,) + crops.shape[2:]))
+            rreg = rreg.reshape(b, p, -1)
+
+            def rb_one(rois_i, rreg_i, det_i):
+                rboxes, _ = rbbox_head_decode(
+                    rois_i, jnp.zeros((p, 1)), rreg_i, self.rbbox_encode)
+                return select_parallel_rboxes(
+                    rboxes, det_i, self._rbbox_head.out_dim_reg)
+            out["rboxes"] = jax.vmap(rb_one)(props, rreg, dets)
+
+        if self._mask_head is not None:
+            def gather_det_rois(det_i):
+                return det_i.boxes[:, :4]
+            det_rois = jax.vmap(gather_det_rois)(dets)
+            mcrops = self._roi_features(feats, det_rois, 14)
+            k = det_rois.shape[1]
+            mask_pred = self._mask_head(
+                mcrops.reshape((b * k,) + mcrops.shape[2:]))
+            c = mask_pred.shape[-1]
+            lbl = jnp.clip(dets.labels.reshape(-1), 0, c - 1)
+            mask_sel = jnp.take_along_axis(
+                mask_pred, lbl[:, None, None, None], axis=-1)[..., 0]
+            s = mask_sel.shape[-1]
+            if self.mask_loss_type == "centermap":
+                probs = mask_sel  # raw map (centermap_head.py:34-47)
+            else:
+                probs = jax.nn.sigmoid(mask_sel)
+            out["masks"] = probs.reshape(b, k, s, s)
+        if scale_factors is not None:
+            sf = scale_factors.reshape(b, 1, 1)
+            out["boxes"] = out["boxes"] / sf
+            if "rboxes" in out:
+                d = out["rboxes"].shape[-1]
+                if d == 5 and self.rbbox_encode == "thetaobb":
+                    scale = jnp.concatenate(
+                        [jnp.ones((b, 1, 4)) / sf[..., None][..., 0],
+                         jnp.ones((b, 1, 1))], -1)
+                    out["rboxes"] = out["rboxes"] * scale
+                else:
+                    out["rboxes"] = out["rboxes"] / sf
+        return out
+
+
+def _two_stage_factory(name, **preset):
+    @DETECTORS.register(name=name)
+    def factory(**kwargs):
+        merged = dict(preset)
+        merged.update(kwargs)
+        return TwoStageDetector(**merged)
+    factory.__name__ = name
+    return factory
+
+
+FasterRCNN = _two_stage_factory("FasterRCNN")
+MaskRCNN = _two_stage_factory(
+    "MaskRCNN", mask_head=dict(type="FCNMaskHead"))
+RBBoxRCNN = _two_stage_factory(
+    "RBBoxRCNN", rbbox_head=dict(type="RBBoxHead"))
+MaskOBB = _two_stage_factory(
+    "MaskOBB", mask_head=dict(type="FCNMaskHead"))
+CenterMapOBB = _two_stage_factory(
+    "CenterMapOBB", mask_head=dict(type="CenterMapHead"),
+    mask_loss_type="centermap")

@@ -1,0 +1,37 @@
+"""RPN head module (parity: mmdet/models/anchor_heads/rpn_head.py:13-38:
+shared 3x3 conv + 1x1 cls/reg, sigmoid objectness)."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..registry import HEADS
+
+
+@HEADS.register
+class RPNHead(nn.Module):
+    in_channels: int = 256
+    feat_channels: int = 256
+    num_anchors: int = 3
+    use_sigmoid_cls: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def cls_out_channels(self):
+        return 1 if self.use_sigmoid_cls else 2
+
+    @nn.compact
+    def __call__(self, feats):
+        shared = nn.Conv(self.feat_channels, (3, 3), padding=1,
+                         dtype=self.dtype, name="rpn_conv")
+        cls_conv = nn.Conv(self.num_anchors * self.cls_out_channels, (1, 1),
+                           dtype=self.dtype, name="rpn_cls")
+        reg_conv = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                           name="rpn_reg")
+        cls_out, reg_out = [], []
+        for f in feats:
+            h = nn.relu(shared(f))
+            cls_out.append(cls_conv(h))
+            reg_out.append(reg_conv(h))
+        return cls_out, reg_out

@@ -1,0 +1,3 @@
+from .mesh import create_mesh, shard_batch, replicate
+from .train import (TrainState, build_optimizer, build_lr_schedule,
+                    create_train_state, make_train_step, make_eval_step)

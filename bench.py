@@ -1,0 +1,63 @@
+"""End-to-end inference throughput benchmark.
+
+Measures 1024x1024 DOTA-patch inference (RBBoxRCNN R50-FPN, bf16,
+full post-processing: RPN + RoI heads + rotated decode + NMS) on the
+available accelerator and prints ONE JSON line.
+
+Baseline: BASELINE.json targets >=1000 patches/s on a v5e-8 (8 chips),
+i.e. 125 patches/s/chip; vs_baseline is measured against the per-chip
+share.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+
+    img_size = 1024
+    batch = 8
+    model = _build_flagship(img_size)
+    imgs = jnp.zeros((batch, img_size, img_size, 3), jnp.float32)
+    shapes = jnp.tile(jnp.asarray([[img_size, img_size]], jnp.float32),
+                      (batch, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+
+    # reduce outputs to one scalar on-device so timing can force a full
+    # host round-trip per iteration (block_until_ready alone does not
+    # reliably synchronize through remote-device tunnels)
+    def _step(v, im, sh):
+        out = model.apply(v, im, sh, method="predict")
+        acc = out["scores"].sum() + out["boxes"].sum()
+        if "rboxes" in out:
+            acc = acc + out["rboxes"].sum()
+        return acc
+
+    fn = jax.jit(_step)
+    float(fn(variables, imgs, shapes))          # compile + warm
+    float(fn(variables, imgs, shapes))
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        s = float(fn(variables, imgs, shapes))  # device_get forces sync
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = n_iters * batch / dt
+    per_chip_target = 1000.0 / 8.0
+    print(json.dumps({
+        "metric": "dota_1024_patch_inference_throughput",
+        "value": round(patches_per_sec, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(patches_per_sec / per_chip_target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Test / evaluation CLI (parity: reference tools/test.py +
+tools/dota/dota_test.py: inference → format → merge → DOTA eval)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out", default=None, help="save raw results (.pkl)")
+    p.add_argument("--eval", nargs="*", default=["hbb", "obb"],
+                   choices=["hbb", "obb"])
+    p.add_argument("--submit-dir", default=None,
+                   help="write DOTA submission txt files here")
+    p.add_argument("--batch-size", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import numpy as np
+
+    from aidet_tpu.apis.inference import init_detector
+    from aidet_tpu.apis.test import run_inference
+    from aidet_tpu.core.rboxes import RBBOX_CODECS
+    from aidet_tpu.data.builder import build_dataset
+    from aidet_tpu.utils.logging import get_root_logger
+
+    logger = get_root_logger()
+    model, variables, cfg = init_detector(args.config, args.checkpoint)
+    dataset = build_dataset(cfg.data["test"])
+    results, names = run_inference(model, variables, dataset,
+                                   batch_size=args.batch_size)
+    logger.info("ran inference on %d images", len(results))
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump({"results": results, "names": names}, f)
+
+    if hasattr(dataset, "merge_patches_to_scenes") and results:
+        import jax.numpy as jnp
+
+        encode = getattr(model, "rbbox_encode", "thetaobb")
+        to_quad = RBBOX_CODECS[encode][3]
+        for task in args.eval:
+            dets = []
+            for r in results:
+                if task == "obb" and "rboxes" in r:
+                    quads = np.asarray(to_quad(jnp.asarray(r["rboxes"])))
+                    boxes = quads
+                else:
+                    boxes = np.asarray(r["boxes"])
+                dets.append(dict(boxes=boxes, scores=r["scores"],
+                                 labels=r["labels"], valid=r["valid"]))
+            merged = dataset.merge_patches_to_scenes(dets, names, task=task)
+            if args.submit_dir:
+                dataset.format_results_txt(
+                    merged, os.path.join(args.submit_dir, task), task=task)
+            logger.info("%s: merged %d scenes", task, len(merged))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Training CLI (parity: reference tools/train.py:64-151)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a detector")
+    p.add_argument("config", help="config file path")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--total-epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from aidet_tpu.apis.train import train_detector
+    from aidet_tpu.data.builder import build_dataset
+    from aidet_tpu.data.pipeline import TrainPipeline
+    from aidet_tpu.models import build_detector
+    from aidet_tpu.utils.config import Config
+    from aidet_tpu.utils.logging import collect_env, get_root_logger
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.get(
+        "work_dir", f"work_dirs/{os.path.splitext(os.path.basename(args.config))[0]}")
+    logger = get_root_logger(os.path.join(work_dir, "train.log"))
+    logger.info("env: %s", collect_env())
+    logger.info("config: %s", cfg.filename)
+
+    model = build_detector(cfg.model, train_cfg=cfg.get("train_cfg"),
+                           test_cfg=cfg.get("test_cfg"))
+    dataset = build_dataset(cfg.data["train"])
+
+    run_cfg = dict(cfg.get("run", {}))
+    run_cfg.setdefault("seed", args.seed)
+    run_cfg.setdefault("optimizer", cfg.get("optimizer", {}))
+    run_cfg.setdefault("lr_config", cfg.get("lr_config", {}))
+    if args.total_epochs:
+        run_cfg["total_epochs"] = args.total_epochs
+    if args.batch_size:
+        run_cfg["batch_size"] = args.batch_size
+    if args.n_devices:
+        run_cfg["n_devices"] = args.n_devices
+    run_cfg.setdefault("total_epochs", cfg.get("total_epochs", 12))
+    pipe_cfg = dict(cfg.get("train_pipeline", {}))
+    pipe_cfg.setdefault("img_size", getattr(model, "img_size", 1024))
+    run_cfg["pipeline"] = TrainPipeline(**pipe_cfg)
+
+    train_detector(model, dataset, run_cfg, work_dir=work_dir,
+                   logger=logger)
+
+
+if __name__ == "__main__":
+    main()
