@@ -53,7 +53,10 @@ class TrainPipeline:
                  flip_ratio: float = 0.5, with_rbox: bool = True,
                  rbox_encode: str = "thetaobb",
                  with_mask: bool = False, mask_size: int = 0,
+                 mask_type: str = "binary",
                  mean=IMAGENET_MEAN, std=IMAGENET_STD, seed: int = 0):
+        """mask_type: 'binary' (Mask R-CNN / MaskOBB) or 'centermap'
+        (soft centerness pseudo-masks, loading.py:160-178)."""
         self.img_size = img_size
         self.max_gt = max_gt
         self.flip_ratio = flip_ratio
@@ -61,6 +64,7 @@ class TrainPipeline:
         self.rbox_encode = rbox_encode
         self.with_mask = with_mask
         self.mask_size = mask_size or img_size // 4
+        self.mask_type = mask_type
         self.mean, self.std = mean, std
         self.rng = np.random.RandomState(seed)
 
@@ -123,13 +127,22 @@ class TrainPipeline:
             ms = self.mask_size
             masks = np.zeros((g, ms, ms), np.float32)
             if n and pointobbs is not None:
-                masks[:n] = rasterize_polygons(
-                    pointobbs[:n], (h, w), ms)
+                if self.mask_type == "centermap":
+                    from .centermap import pointobbs2centermap
+                    masks[:n] = pointobbs2centermap(
+                        np.asarray(pointobbs[:n]), (self.img_size,
+                                                    self.img_size),
+                        mask_size=ms)
+                else:
+                    masks[:n] = rasterize_polygons(
+                        pointobbs[:n], (self.img_size, self.img_size), ms)
             sample["gt_masks"] = masks
         return sample
 
 
 class TestPipeline:
+    __test__ = False  # not a pytest class
+
     def __init__(self, img_size: int = 1024,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD):
         self.img_size = img_size

@@ -27,7 +27,7 @@ from ...core.assign import max_iou_assign
 from ...core.sample import sample_fixed
 from ...core.targets import bbox_target, mask_target, rbbox_target
 from ...ops.nms import multiclass_nms, select_parallel_rboxes
-from ...ops.roi_align import multilevel_roi_align
+from ...ops.roi_align import multilevel_roi_align_fused
 from ..builder import build_backbone, build_head, build_neck
 from ..heads.anchor_head import (anchor_head_loss, flatten_level_outputs,
                                  rpn_proposals)
@@ -131,7 +131,7 @@ class TwoStageDetector(nn.Module):
         b = imgs.shape[0]
         dummy_rois = jnp.tile(
             jnp.asarray([[0.0, 0.0, 100.0, 100.0]], self.dtype), (4, 1))
-        crops = multilevel_roi_align(
+        crops = multilevel_roi_align_fused(
             [f[0] for f in feats[:4]], dummy_rois,
             out_size=self._bbox_head.roi_feat_size,
             featmap_strides=tuple(self.strides[:4]))
@@ -140,7 +140,7 @@ class TwoStageDetector(nn.Module):
         if self._rbbox_head is not None:
             outs += self._rbbox_head(crops)
         if self._mask_head is not None:
-            mcrops = multilevel_roi_align(
+            mcrops = multilevel_roi_align_fused(
                 [f[0] for f in feats[:4]], dummy_rois, out_size=14,
                 featmap_strides=tuple(self.strides[:4]))
             outs += (self._mask_head(mcrops),)
@@ -154,7 +154,7 @@ class TwoStageDetector(nn.Module):
         strides = tuple(self.strides[:4])
 
         def per_image(per_img_feats, rois):
-            return multilevel_roi_align(per_img_feats, rois,
+            return multilevel_roi_align_fused(per_img_feats, rois,
                                         out_size=out_size,
                                         featmap_strides=strides)
         return jax.vmap(per_image)(list(lvl4), rois_b)

@@ -5,3 +5,4 @@ from .anchor_head import (AnchorHead, flatten_level_outputs,
 from .bbox_head import BBoxHead, SharedFCBBoxHead, RBBoxHead
 from .mask_head import FCNMaskHead, CenterMapHead
 from .retina_head import RetinaHead
+from .fcos_head import FCOSHead, FCOS

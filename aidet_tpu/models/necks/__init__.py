@@ -1,1 +1,3 @@
 from .fpn import FPN
+from .hrfpn import HRFPN
+from .bfp import BFP

@@ -30,35 +30,71 @@ from ..core.boxes import bbox_overlaps
 NEG_INF = -1e10
 
 
+_NMS_TILE = 256
+
+
 def _greedy_keep(iou: jax.Array, order: jax.Array, valid: jax.Array,
                  iou_thr: float) -> jax.Array:
     """Exact greedy suppression given a precomputed IoU matrix.
 
-    Args:
-      iou:   [N, N] pairwise IoU (in original box order).
-      order: [N] indices sorted by descending score.
-      valid: [N] bool in original order.
-      iou_thr: suppression threshold.
-    Returns keep mask [N] in original order.
+    Semantics match the reference's CUDA bitmask kernel
+    (mmdet/ops/nms/src/nms_kernel.cu): a box is kept iff no
+    higher-scoring *kept* box overlaps it above the threshold.
 
-    The scan walks boxes in score order; a box is kept iff no
-    higher-scoring kept box overlaps it above the threshold — the same
-    semantics as the reference's CUDA bitmask kernel
-    (mmdet/ops/nms/src/nms_kernel.cu).
+    TPU-first formulation: instead of an N-step sequential scan, boxes
+    (in score order) are processed in tiles of T.  Each tile is first
+    masked against all previously-kept boxes in one [T, N] matrix op,
+    then resolved internally by iterating
+        alive_{k+1}[j] = ¬∃ i<j : alive_k[i] ∧ iou[i,j] > thr
+    to its fixpoint — after k iterations every suppression chain of
+    depth ≤ k is resolved, so the fixpoint IS the greedy solution.
+    Sequential steps drop from N to (N/T)·(fixpoint iters + 1).
     """
     n = iou.shape[0]
-    iou_sorted = iou[order][:, order]           # [N, N] in score order
+    iou_sorted = iou[order][:, order] > iou_thr   # [N, N] bool, score order
     valid_sorted = valid[order]
 
-    def body(keep, i):
-        row = iou_sorted[:, i]                   # IoU of box i vs all
-        earlier = jnp.arange(n) < i
-        suppressed = jnp.any(keep & earlier & (row > iou_thr))
-        keep_i = valid_sorted[i] & ~suppressed
-        return keep.at[i].set(keep_i), None
+    t = min(_NMS_TILE, n)
+    num_tiles = -(-n // t)
+    pad = num_tiles * t - n
+    if pad:
+        supp = jnp.pad(iou_sorted, ((0, pad), (0, pad)))
+        valid_sorted = jnp.pad(valid_sorted, (0, pad))
+    else:
+        supp = iou_sorted
+    np_ = num_tiles * t
+    idx = jnp.arange(np_)
 
-    keep_sorted, _ = jax.lax.scan(body, jnp.zeros(n, bool), jnp.arange(n))
-    # scatter back to original order
+    def tile_body(ti, keep):
+        sl = ti * t
+        rows = jax.lax.dynamic_slice(supp, (sl, 0), (t, np_))   # [T, NP]
+        tile_valid = jax.lax.dynamic_slice(valid_sorted, (sl,), (t,))
+        # suppressed by any kept box from earlier tiles
+        earlier = idx < sl
+        supp_prev = jnp.any(rows & (keep & earlier)[None, :], axis=1)
+        cand = tile_valid & ~supp_prev
+
+        self_rows = jax.lax.dynamic_slice(rows, (0, sl), (t, t))  # [T, T]
+        upper = (jnp.arange(t)[:, None] < jnp.arange(t)[None, :])
+        m = self_rows & upper                                    # i<j pairs
+
+        def fix_cond(state):
+            alive, prev_alive, it = state
+            return (it < t) & jnp.any(alive != prev_alive)
+
+        def fix_body(state):
+            alive, _, it = state
+            suppressed = jnp.any(m & alive[:, None], axis=0)
+            return cand & ~suppressed, alive, it + 1
+
+        alive0 = cand
+        a1 = cand & ~jnp.any(m & alive0[:, None], axis=0)
+        alive, _, _ = jax.lax.while_loop(
+            fix_cond, fix_body, (a1, alive0, jnp.int32(1)))
+        return jax.lax.dynamic_update_slice(keep, alive, (sl,))
+
+    keep_sorted = jax.lax.fori_loop(0, num_tiles, tile_body,
+                                    jnp.zeros(np_, bool))[:n]
     return jnp.zeros(n, bool).at[order].set(keep_sorted)
 
 

@@ -139,6 +139,89 @@ def multilevel_roi_align(feats, rois, out_size=7, featmap_strides=(4, 8, 16, 32)
     return out
 
 
+def multilevel_roi_align_fused(feats, rois, out_size=7,
+                               featmap_strides=(4, 8, 16, 32),
+                               sampling_ratio=2, finest_scale=56,
+                               aligned=True, roi_scale_factor=None):
+    """RoIAlign over an FPN pyramid via ONE gather from the flattened
+    pyramid — no per-level recompute.
+
+    All levels are concatenated into a [T, C] table; each roi's sample
+    coordinates are computed against its own level's geometry (per-roi
+    stride/size arithmetic is pure vector math), producing flat indices
+    into the table.  4x fewer FLOPs and gather traffic than the
+    masked per-level formulation in :func:`multilevel_roi_align`.
+
+    Args/returns identical to :func:`multilevel_roi_align`.
+    """
+    num_levels = len(featmap_strides)
+    c = feats[0].shape[-1]
+    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
+    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
+    sizes = [f.shape[0] * f.shape[1] for f in feats]
+    offs = jnp.asarray(
+        [sum(sizes[:i]) for i in range(num_levels)], jnp.float32)
+    table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+
+    lvls = map_roi_levels(rois, num_levels, finest_scale)
+    if roi_scale_factor is not None:
+        rois = _rescale_rois(rois, roi_scale_factor)
+
+    stride = jnp.asarray(featmap_strides, jnp.float32)[lvls]   # [K]
+    h_l = hs[lvls]
+    w_l = ws[lvls]
+    off_l = offs[lvls]
+
+    offset = 0.5 if aligned else 0.0
+    inv = 1.0 / stride
+    x1 = rois[:, 0] * inv - offset
+    y1 = rois[:, 1] * inv - offset
+    x2 = rois[:, 2] * inv - offset
+    y2 = rois[:, 3] * inv - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    s = sampling_ratio
+    n_pts = out_size * s
+    grid = (jnp.arange(n_pts, dtype=rois.dtype) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * (roi_h / out_size)[:, None]
+    xs = x1[:, None] + grid[None, :] * (roi_w / out_size)[:, None]
+
+    k = rois.shape[0]
+    yy = jnp.broadcast_to(ys[:, :, None], (k, n_pts, n_pts))
+    xx = jnp.broadcast_to(xs[:, None, :], (k, n_pts, n_pts))
+    hb = h_l[:, None, None]
+    wb = w_l[:, None, None]
+    oob = (yy < -1.0) | (yy > hb) | (xx < -1.0) | (xx > wb)
+    y = jnp.clip(yy, 0.0, hb - 1)
+    x = jnp.clip(xx, 0.0, wb - 1)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1i = jnp.minimum(y0 + 1, hb - 1)
+    x1i = jnp.minimum(x0 + 1, wb - 1)
+    ly = (y - y0)[..., None]
+    lx = (x - x0)[..., None]
+
+    base = off_l[:, None, None]
+
+    def take(yi, xi):
+        idx = (base + yi * wb + xi).astype(jnp.int32)
+        return table[idx]                          # [K, P, P, C]
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x1i)
+    v10 = take(y1i, x0)
+    v11 = take(y1i, x1i)
+    out = (v00 * (1 - ly) * (1 - lx) + v01 * (1 - ly) * lx
+           + v10 * ly * (1 - lx) + v11 * ly * lx)
+    out = jnp.where(oob[..., None], 0.0, out)
+    out = out.reshape(k, out_size, s, out_size, s, c)
+    return out.mean(axis=(2, 4))
+
+
 def _rescale_rois(rois, scale_factor):
     """Scale rois about their centers (single_level.py:75-87)."""
     cx = (rois[:, 0] + rois[:, 2]) * 0.5

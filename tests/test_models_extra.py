@@ -1,0 +1,119 @@
+"""Forward smoke tests for the extended model zoo: ResNeXt, HRNet,
+SSDVGG backbones; HRFPN/BFP necks; FCOS detector."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aidet_tpu.models import build_detector
+from aidet_tpu.models.backbones import HRNet, ResNeXt, SSDVGG
+from aidet_tpu.models.necks import BFP, HRFPN
+
+IMG = 128
+
+
+def test_resnext_forward():
+    m = ResNeXt(depth=50, groups=8, base_width=4)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    outs = jax.jit(m.apply)(v, x)
+    assert len(outs) == 4
+    assert outs[0].shape == (1, IMG // 4, IMG // 4, 256)
+    assert outs[3].shape == (1, IMG // 32, IMG // 32, 2048)
+
+
+def test_hrnet_forward_and_hrfpn():
+    m = HRNet(width=16, stage_modules=(1, 1, 1, 1), stage_blocks=2)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    outs = jax.jit(m.apply)(v, x)
+    assert len(outs) == 4
+    assert outs[0].shape == (1, IMG // 4, IMG // 4, 16)
+    assert outs[3].shape == (1, IMG // 32, IMG // 32, 128)
+
+    neck = HRFPN(in_channels=(16, 32, 64, 128), out_channels=32,
+                 num_outs=5)
+    nv = jax.jit(neck.init)(jax.random.PRNGKey(1), outs)
+    feats = jax.jit(neck.apply)(nv, outs)
+    assert len(feats) == 5
+    assert feats[0].shape == (1, IMG // 4, IMG // 4, 32)
+    assert feats[4].shape == (1, IMG // 64, IMG // 64, 32)
+
+
+def test_ssd_vgg_forward():
+    m = SSDVGG(input_size=300)
+    x = jnp.zeros((1, 300, 300, 3))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    outs = jax.jit(m.apply)(v, x)
+    assert len(outs) == 6
+    assert outs[0].shape[-1] == 512       # conv4_3 (L2Norm'd)
+    assert outs[1].shape[-1] == 1024      # fc7
+
+
+def test_bfp_preserves_shapes():
+    feats = tuple(jnp.ones((1, IMG // s, IMG // s, 32))
+                  for s in (4, 8, 16, 32, 64))
+    neck = BFP(in_channels=32, num_levels=5)
+    v = jax.jit(neck.init)(jax.random.PRNGKey(0), feats)
+    outs = jax.jit(neck.apply)(v, feats)
+    for a, b in zip(feats, outs):
+        assert a.shape == b.shape
+
+
+def _fcos_data(batch=1, num_gt=3, seed=0):
+    rng = np.random.RandomState(seed)
+    g = 8
+    cx = rng.uniform(20, IMG - 20, (batch, g))
+    cy = rng.uniform(20, IMG - 20, (batch, g))
+    w = rng.uniform(10, 40, (batch, g))
+    h = rng.uniform(10, 40, (batch, g))
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                     -1).astype(np.float32)
+    return dict(
+        imgs=jnp.asarray(rng.randn(batch, IMG, IMG, 3).astype(np.float32)),
+        gt_boxes=jnp.asarray(boxes),
+        gt_valid=jnp.asarray(np.arange(g)[None] < num_gt).repeat(batch, 0),
+        gt_labels=jnp.asarray(rng.randint(1, 16, (batch, g)).astype(
+            np.int32)),
+        img_shapes=jnp.asarray(np.tile([[IMG, IMG]], (batch, 1)).astype(
+            np.float32)))
+
+
+def test_fcos_train_and_infer():
+    model = build_detector(dict(
+        type="FCOS",
+        backbone=dict(type="ResNet", depth=18),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512),
+                  out_channels=64, num_outs=5, start_level=1,
+                  add_extra_convs=True, extra_convs_on_inputs=False,
+                  relu_before_extra_convs=True),
+        bbox_head=dict(type="FCOSHead", num_classes=16, in_channels=64,
+                       feat_channels=64, stacked_convs=1),
+        test_cfg=dict(nms_pre=200, max_per_img=20),
+        img_size=IMG))
+    data = _fcos_data()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data["imgs"])
+    losses = jax.jit(functools.partial(model.apply, method="loss"))(
+        variables, **data)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    assert set(losses) == {"loss_cls", "loss_bbox", "loss_centerness"}
+    out = jax.jit(functools.partial(model.apply, method="predict"))(
+        variables, data["imgs"], data["img_shapes"])
+    assert out["boxes"].shape == (1, 20, 4)
+
+
+def test_fcos_target_unit():
+    from aidet_tpu.core.points import fcos_target
+    pts = jnp.asarray([[16., 16.], [100., 100.]])
+    rr = jnp.asarray([[-1., 1e8], [-1., 1e8]])
+    gt = jnp.asarray([[0., 0., 32., 32.]])
+    labels, tgts, ctr = fcos_target(pts, rr, gt,
+                                    jnp.asarray([True]),
+                                    jnp.asarray([5]))
+    assert int(labels[0]) == 5 and int(labels[1]) == 0
+    np.testing.assert_allclose(np.asarray(tgts[0]), [16., 16., 16., 16.])
+    assert float(ctr[0]) > 0.99
+    assert float(ctr[1]) == 0.0

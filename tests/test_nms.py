@@ -63,6 +63,20 @@ def test_nms_reference_docstring_case():
     np.testing.assert_array_equal(keep, oracle)
 
 
+def test_nms_multi_tile_matches_oracle():
+    # > _NMS_TILE boxes with heavy overlap → exercises cross-tile
+    # suppression and within-tile fixpoint chains
+    rng = np.random.RandomState(42)
+    n = 600
+    b = rng.uniform(0, 60, (n, 2)).astype(np.float32)  # dense → long chains
+    boxes = np.concatenate([b, b + rng.uniform(5, 30, (n, 2))], -1)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    ours = np.asarray(nms(jnp.asarray(boxes.astype(np.float32)),
+                          jnp.asarray(scores), 0.5))
+    oracle = _greedy_nms_np(boxes, scores, 0.5)
+    np.testing.assert_array_equal(ours, oracle)
+
+
 def test_nms_respects_valid_mask():
     boxes, scores = random_dets(30, 7)
     valid = np.zeros(30, bool)

@@ -93,6 +93,30 @@ def test_multilevel_routing_selects_right_level():
     np.testing.assert_allclose(got, consts, atol=1e-5)
 
 
+def test_fused_matches_masked_multilevel():
+    from aidet_tpu.ops.roi_align import multilevel_roi_align_fused
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(256 // s, 256 // s, 16)
+                         .astype(np.float32)) for s in (4, 8, 16, 32)]
+    rois = jnp.asarray(np.stack([
+        rng.uniform(0, 120, 32), rng.uniform(0, 120, 32),
+        rng.uniform(130, 255, 32), rng.uniform(130, 255, 32)],
+        -1).astype(np.float32))
+    a = multilevel_roi_align(feats, rois, out_size=7)
+    b = multilevel_roi_align_fused(feats, rois, out_size=7)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_multilevel_gradients():
+    from aidet_tpu.ops.roi_align import multilevel_roi_align_fused
+    feats = [jnp.ones((64 // s, 64 // s, 4)) for s in (4, 8, 16, 32)]
+    rois = jnp.asarray([[4., 4., 40., 40.]])
+    g = jax.grad(lambda fs: multilevel_roi_align_fused(
+        fs, rois, out_size=2).sum())(feats)
+    total = sum(float(jnp.abs(x).sum()) for x in g)
+    assert np.isfinite(total) and total > 0
+
+
 def test_multilevel_batch_of_rois_shape():
     feats = [jnp.ones((64 // s, 64 // s, 8)) for s in (4, 8, 16, 32)]
     rois = jnp.tile(jnp.asarray([[0., 0., 30., 30.]]), (12, 1))
