@@ -47,7 +47,9 @@ class SSDVGG(nn.Module):
             if b == 3:
                 outs.append(L2Norm(name="l2norm")(x))
             if b < 4:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                # ceil-mode pooling (torch ceil_mode=True) keeps the
+                # canonical SSD300 ladder 300→150→75→38→19
+                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
             else:  # pool5: 3x3 stride 1 (ssd_vgg.py)
                 x = nn.max_pool(x, (3, 3), strides=(1, 1),
                                 padding=[(1, 1), (1, 1)])

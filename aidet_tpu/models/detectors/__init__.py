@@ -2,3 +2,4 @@ from .two_stage import (TwoStageDetector, FasterRCNN, MaskRCNN, RBBoxRCNN,
                         MaskOBB, CenterMapOBB)
 from .single_stage import SingleStageDetector, RetinaNet
 from .rpn import RPN
+from .cascade import CascadeRCNN, HTC

@@ -1,0 +1,272 @@
+"""Cascade R-CNN (parity: mmdet/models/detectors/cascade_rcnn.py):
+three RoI-head stages with increasing IoU thresholds; each stage
+refines the boxes fed to the next; test-time class scores are averaged
+across stages.  HTC's interleaved mask path can ride the same refined
+rois (mask_head optional)."""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.anchors import build_pyramid_anchors
+from ...core.assign import max_iou_assign
+from ...core.boxes import delta2bbox
+from ...core.sample import sample_fixed
+from ...core.targets import bbox_target, mask_target
+from ...ops.nms import multiclass_nms
+from ...ops.roi_align import multilevel_roi_align_fused
+from ..builder import build_backbone, build_head, build_neck
+from ..heads.anchor_head import (anchor_head_loss, flatten_level_outputs,
+                                 rpn_proposals)
+from ..losses import CrossEntropyLoss, SmoothL1Loss, mask_cross_entropy
+from ..registry import DETECTORS
+from .two_stage import (DEFAULT_TEST_CFG, DEFAULT_TRAIN_CFG,
+                        RPN_TARGET_STDS, _merge)
+
+STAGE_IOU_THRS = (0.5, 0.6, 0.7)
+STAGE_LOSS_WEIGHTS = (1.0, 0.5, 0.25)
+STAGE_TARGET_STDS = ((0.1, 0.1, 0.2, 0.2),
+                     (0.05, 0.05, 0.1, 0.1),
+                     (0.033, 0.033, 0.067, 0.067))
+
+
+@DETECTORS.register
+class CascadeRCNN(nn.Module):
+    backbone: Any = None
+    neck: Any = None
+    rpn_head: Any = None
+    bbox_head: Any = None          # template config reused per stage
+    mask_head: Any = None          # HTC-style mask branch (optional)
+    num_stages: int = 3
+    train_cfg: Any = None
+    test_cfg: Any = None
+    img_size: int = 1024
+    strides: Sequence[int] = (4, 8, 16, 32, 64)
+    anchor_scales: Sequence[int] = (8,)
+    anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self._backbone = build_backbone(self.backbone or dict(
+            type="ResNet", depth=50, dtype=self.dtype))
+        self._neck = build_neck(self.neck or dict(
+            type="FPN", num_outs=5, dtype=self.dtype))
+        self._rpn = build_head(self.rpn_head or dict(
+            type="RPNHead", num_anchors=len(self.anchor_scales)
+            * len(self.anchor_ratios), dtype=self.dtype))
+        head_cfg = dict(self.bbox_head or dict(
+            type="SharedFCBBoxHead", num_classes=16, dtype=self.dtype))
+        head_cfg["reg_class_agnostic"] = True  # cascade convention
+        self._heads = [build_head(dict(head_cfg))
+                       for _ in range(self.num_stages)]
+        self._mask_head = (build_head(self.mask_head)
+                           if self.mask_head else None)
+        anchors, sizes = build_pyramid_anchors(
+            self.img_size, self.strides,
+            scales=self.anchor_scales, ratios=self.anchor_ratios)
+        self._anchors = anchors
+        self._level_sizes = sizes
+        self._tc = _merge(DEFAULT_TRAIN_CFG, self.train_cfg)
+        self._ec = _merge(DEFAULT_TEST_CFG, self.test_cfg)
+        self._rpn_cls_loss = CrossEntropyLoss(use_sigmoid=True)
+        self._rpn_bbox_loss = SmoothL1Loss(beta=1.0 / 9.0)
+        self._cls_loss = CrossEntropyLoss()
+        self._reg_loss = SmoothL1Loss(beta=1.0)
+
+    def extract_feat(self, imgs):
+        return self._neck(self._backbone(imgs))
+
+    def _roi_features(self, feats, rois_b, out_size):
+        strides = tuple(self.strides[:4])
+
+        def per_image(per_img_feats, rois):
+            return multilevel_roi_align_fused(per_img_feats, rois,
+                                              out_size=out_size,
+                                              featmap_strides=strides)
+        return jax.vmap(per_image)(list(feats[:4]), rois_b)
+
+    def __call__(self, imgs):
+        feats = self.extract_feat(imgs)
+        rpn_out = self._rpn(feats)
+        dummy = jnp.tile(jnp.asarray([[0., 0., 64., 64.]], self.dtype),
+                         (4, 1))
+        crops = multilevel_roi_align_fused(
+            [f[0] for f in feats[:4]], dummy,
+            out_size=self._heads[0].roi_feat_size,
+            featmap_strides=tuple(self.strides[:4]))
+        outs = [h(crops) for h in self._heads]
+        if self._mask_head is not None:
+            mcrops = multilevel_roi_align_fused(
+                [f[0] for f in feats[:4]], dummy, out_size=14,
+                featmap_strides=tuple(self.strides[:4]))
+            outs.append(self._mask_head(mcrops))
+        return rpn_out, outs
+
+    def loss(self, imgs, gt_boxes, gt_valid, gt_labels, img_shapes,
+             gt_masks=None):
+        tc = self._tc
+        feats = self.extract_feat(imgs)
+        rpn_cls, rpn_reg = self._rpn(feats)
+        cls_flat, reg_flat = flatten_level_outputs(
+            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+        key = self.make_rng("sampling")
+        keys = jax.random.split(key, self.num_stages + 1)
+
+        rpn_cfg = dict(tc["rpn"])
+        losses = {}
+        rpn_losses = anchor_head_loss(
+            cls_flat, reg_flat, self._anchors, gt_boxes, gt_valid,
+            img_shapes, keys[0], target_stds=RPN_TARGET_STDS,
+            cls_loss=self._rpn_cls_loss, bbox_loss=self._rpn_bbox_loss,
+            assigner_cfg=dict(pos_iou_thr=rpn_cfg["pos_iou_thr"],
+                              neg_iou_thr=rpn_cfg["neg_iou_thr"],
+                              min_pos_iou=rpn_cfg["min_pos_iou"]),
+            sampler_cfg=dict(num_samples=rpn_cfg["num_samples"],
+                             pos_fraction=rpn_cfg["pos_fraction"],
+                             neg_pos_ub=rpn_cfg["neg_pos_ub"]),
+            allowed_border=rpn_cfg["allowed_border"],
+            pos_weight=rpn_cfg["pos_weight"], use_sigmoid_cls=True)
+        losses["loss_rpn_cls"] = rpn_losses["loss_cls"]
+        losses["loss_rpn_bbox"] = rpn_losses["loss_bbox"]
+
+        props, _, prop_valid = rpn_proposals(
+            jax.lax.stop_gradient(cls_flat),
+            jax.lax.stop_gradient(reg_flat),
+            self._anchors, self._level_sizes, img_shapes,
+            **tc["rpn_proposal"])
+
+        rc = tc["rcnn"]
+        b = imgs.shape[0]
+        cur_boxes = props
+        cur_valid = prop_valid
+        last_sample = None
+        last_rois = None
+        for stage in range(self.num_stages):
+            thr = STAGE_IOU_THRS[stage]
+            lw = STAGE_LOSS_WEIGHTS[stage]
+            stds = STAGE_TARGET_STDS[stage]
+            cand = jnp.concatenate([gt_boxes, cur_boxes], axis=1)
+            cand_valid = jnp.concatenate([gt_valid, cur_valid], axis=1)
+            skeys = jax.random.split(keys[stage + 1], b)
+
+            def sample_one(cand_i, cv_i, gt_i, gv_i, k):
+                res = max_iou_assign(cand_i, gt_i, gv_i, None,
+                                     pos_iou_thr=thr, neg_iou_thr=thr,
+                                     min_pos_iou=thr, box_valid=cv_i)
+                return sample_fixed(k, res.gt_inds, rc["num_samples"],
+                                    rc["pos_fraction"], rc["neg_pos_ub"])
+
+            sample = jax.vmap(sample_one)(cand, cand_valid, gt_boxes,
+                                          gt_valid, skeys)
+            rois = jnp.take_along_axis(cand, sample.inds[..., None],
+                                       axis=1)
+            crops = self._roi_features(feats, rois,
+                                       self._heads[stage].roi_feat_size)
+            r = rc["num_samples"]
+            flat = crops.reshape((b * r,) + crops.shape[2:])
+            cls_score, bbox_pred = self._heads[stage](flat)
+
+            tgt = jax.vmap(lambda s, ro, g, gl: bbox_target(
+                s, ro, g, gl, (0., 0., 0., 0.), stds,
+                rc["pos_weight"]))(sample, rois, gt_boxes, gt_labels)
+            flat_tgt = jax.tree.map(
+                lambda x: x.reshape((b * r,) + x.shape[2:]), tgt)
+            avg = jnp.maximum(flat_tgt.label_weights.sum(), 1.0)
+            losses[f"s{stage}.loss_cls"] = lw * self._cls_loss(
+                cls_score, flat_tgt.labels,
+                weight=flat_tgt.label_weights, avg_factor=avg)
+            pos_avg = jnp.maximum(flat_tgt.bbox_weights[..., 0].sum(), 1.0)
+            losses[f"s{stage}.loss_bbox"] = lw * self._reg_loss(
+                bbox_pred, flat_tgt.bbox_targets,
+                weight=flat_tgt.bbox_weights, avg_factor=pos_avg)
+
+            last_sample, last_rois = sample, rois
+            # refine rois for the next stage (cascade_rcnn.py refine)
+            if stage < self.num_stages - 1:
+                refined = delta2bbox(
+                    rois.reshape(-1, 4),
+                    jax.lax.stop_gradient(bbox_pred),
+                    (0., 0., 0., 0.), stds,
+                    max_shape=(self.img_size, self.img_size))
+                cur_boxes = refined.reshape(b, r, 4)
+                cur_valid = sample.valid
+
+        if self._mask_head is not None and gt_masks is not None:
+            p_max = int(rc["num_samples"] * rc["pos_fraction"])
+            pos_rois = last_rois[:, :p_max]
+            pos_sample = jax.tree.map(lambda x: x[:, :p_max], last_sample)
+            mcrops = self._roi_features(feats, pos_rois, 14)
+            mask_pred = self._mask_head(
+                mcrops.reshape((b * p_max,) + mcrops.shape[2:]))
+            msize = 14 * self._mask_head.upsample_ratio
+            mscale = gt_masks.shape[-1] / self.img_size
+            mtgt = jax.vmap(lambda s, ro, m: mask_target(
+                s, ro * mscale, m, msize))(pos_sample, pos_rois, gt_masks)
+            mtgt = mtgt.reshape((b * p_max,) + mtgt.shape[2:])
+            pos_labels = jax.vmap(
+                lambda s, gl: jnp.where(
+                    s.is_pos, gl[jnp.clip(s.gt_inds, 0, gl.shape[0] - 1)],
+                    0))(pos_sample, gt_labels).reshape(-1)
+            is_pos = pos_sample.is_pos.reshape(-1)
+            navg = jnp.maximum(is_pos.sum(), 1.0) * msize ** 2
+            losses["loss_mask"] = mask_cross_entropy(
+                mask_pred, mtgt, pos_labels,
+                weight=is_pos[:, None, None].astype(jnp.float32),
+                avg_factor=navg)
+        return losses
+
+    def predict(self, imgs, img_shapes, scale_factors=None):
+        ec = self._ec
+        feats = self.extract_feat(imgs)
+        rpn_cls, rpn_reg = self._rpn(feats)
+        cls_flat, reg_flat = flatten_level_outputs(
+            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+        props, _, prop_valid = rpn_proposals(
+            cls_flat, reg_flat, self._anchors, self._level_sizes,
+            img_shapes, **ec["rpn"])
+        b, p = props.shape[:2]
+
+        rois = props
+        ms_scores = []
+        bbox_pred = None
+        for stage in range(self.num_stages):
+            crops = self._roi_features(feats, rois,
+                                       self._heads[stage].roi_feat_size)
+            flat = crops.reshape((b * p,) + crops.shape[2:])
+            cls_score, bbox_pred = self._heads[stage](flat)
+            ms_scores.append(jax.nn.softmax(
+                cls_score.reshape(b, p, -1), -1))
+            if stage < self.num_stages - 1:
+                refined = delta2bbox(
+                    rois.reshape(-1, 4), bbox_pred, (0., 0., 0., 0.),
+                    STAGE_TARGET_STDS[stage],
+                    max_shape=(self.img_size, self.img_size))
+                rois = refined.reshape(b, p, 4)
+
+        scores = sum(ms_scores) / self.num_stages
+        final = delta2bbox(
+            rois.reshape(-1, 4), bbox_pred, (0., 0., 0., 0.),
+            STAGE_TARGET_STDS[-1],
+            max_shape=(self.img_size, self.img_size)).reshape(b, p, 4)
+        rc = ec["rcnn"]
+
+        def one(boxes_i, scores_i, valid_i):
+            return multiclass_nms(boxes_i, scores_i, rc["score_thr"],
+                                  rc["nms_thr"], rc["max_per_img"],
+                                  valid=valid_i)
+        dets = jax.vmap(one)(final, scores, prop_valid)
+        boxes = dets.boxes
+        if scale_factors is not None:
+            boxes = boxes / scale_factors[:, None, None]
+        return dict(boxes=boxes, scores=dets.scores, labels=dets.labels,
+                    valid=dets.valid)
+
+
+@DETECTORS.register(name="HTC")
+def HTC(**kwargs):
+    kwargs.setdefault("mask_head", dict(type="FCNMaskHead"))
+    return CascadeRCNN(**kwargs)

@@ -6,3 +6,5 @@ from .bbox_head import BBoxHead, SharedFCBBoxHead, RBBoxHead
 from .mask_head import FCNMaskHead, CenterMapHead
 from .retina_head import RetinaHead
 from .fcos_head import FCOSHead, FCOS
+from .atss_head import ATSSHead, ATSS
+from .ssd_head import SSDHead, SSD, build_ssd_anchors
