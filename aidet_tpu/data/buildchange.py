@@ -1,0 +1,13 @@
+"""BuildChange building-roof dataset (parity: mmdet/datasets/
+buildchange.py:17-392: COCO-format roof/footprint annotations with
+single 'building' class; evaluation is standard COCO-style bbox/segm
+via the generic eval_map machinery)."""
+
+from __future__ import annotations
+
+from ..core.eval.class_names import BUILDCHANGE_CLASSES
+from .coco import CocoDataset
+
+
+class BuildChangeDataset(CocoDataset):
+    CLASSES = BUILDCHANGE_CLASSES

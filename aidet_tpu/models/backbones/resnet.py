@@ -143,16 +143,22 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outs = []
+        cur_c = self.base_channels
         for i in range(self.num_stages):
             planes = self.base_channels * 2 ** i
+            out_c = planes * block_cls.expansion
             for b in range(stage_blocks[i]):
                 stride = self.strides[i] if b == 0 else 1
+                # projection shortcut only when geometry/channels change
+                # (torch resnet convention)
+                ds = b == 0 and (stride != 1 or cur_c != out_c)
                 x = block_cls(
                     planes=planes, stride=stride,
                     dilation=self.dilations[i],
-                    downsample=(b == 0),
+                    downsample=ds,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_block{b}")(x)
+                cur_c = out_c
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -81,13 +81,10 @@ class CascadeRCNN(nn.Module):
         return self._neck(self._backbone(imgs))
 
     def _roi_features(self, feats, rois_b, out_size):
-        strides = tuple(self.strides[:4])
-
-        def per_image(per_img_feats, rois):
-            return multilevel_roi_align_fused(per_img_feats, rois,
-                                              out_size=out_size,
-                                              featmap_strides=strides)
-        return jax.vmap(per_image)(list(feats[:4]), rois_b)
+        from ...ops.roi_align import batched_multilevel_roi_align
+        return batched_multilevel_roi_align(
+            list(feats[:4]), rois_b, out_size=out_size,
+            featmap_strides=tuple(self.strides[:4]))
 
     def __call__(self, imgs):
         feats = self.extract_feat(imgs)

@@ -81,6 +81,9 @@ class TwoStageDetector(nn.Module):
     bbox_head: Any = None
     rbbox_head: Any = None        # RBBoxRCNN branch
     mask_head: Any = None         # Mask R-CNN / MaskOBB / CenterMap branch
+    semantic_head: Any = None     # CenterMap-Net semantic branch
+    semantic_fusion: str = "add"  # 'add' | 'mul' | 'attention'
+    semantic_level: int = 0       # pyramid level the semantic feat lives at
     train_cfg: Any = None
     test_cfg: Any = None
     img_size: int = 1024
@@ -105,6 +108,8 @@ class TwoStageDetector(nn.Module):
                             if self.rbbox_head else None)
         self._mask_head = (build_head(self.mask_head)
                            if self.mask_head else None)
+        self._semantic_head = (build_head(self.semantic_head)
+                               if self.semantic_head else None)
         anchors, sizes = build_pyramid_anchors(
             self.img_size, self.strides,
             scales=self.anchor_scales, ratios=self.anchor_ratios)
@@ -137,6 +142,8 @@ class TwoStageDetector(nn.Module):
             featmap_strides=tuple(self.strides[:4]))
         cls_score, bbox_pred = self._bbox_head(crops)
         outs = (rpn_cls, rpn_reg, cls_score, bbox_pred)
+        if self._semantic_head is not None:
+            outs += self._semantic_head(feats)
         if self._rbbox_head is not None:
             outs += self._rbbox_head(crops)
         if self._mask_head is not None:
@@ -149,18 +156,30 @@ class TwoStageDetector(nn.Module):
     # ------------------------------------------------------------------
     def _roi_features(self, feats, rois_b, out_size):
         """Batched multi-level RoIAlign: feats are [B, H, W, C] lists,
-        rois_b [B, R, 4] → [B, R, s, s, C]."""
-        lvl4 = feats[:4]
-        strides = tuple(self.strides[:4])
+        rois_b [B, R, 4] → [B, R, s, s, C] via one flat-table gather."""
+        from ...ops.roi_align import batched_multilevel_roi_align
+        return batched_multilevel_roi_align(
+            list(feats[:4]), rois_b, out_size=out_size,
+            featmap_strides=tuple(self.strides[:4]))
 
-        def per_image(per_img_feats, rois):
-            return multilevel_roi_align_fused(per_img_feats, rois,
-                                        out_size=out_size,
-                                        featmap_strides=strides)
-        return jax.vmap(per_image)(list(lvl4), rois_b)
+    def _fuse_semantic(self, crops, sem_feat, rois_b, out_size):
+        """RoI-crop the semantic feature map and fuse into roi feats
+        (parity: centermap_obb.py:161-177, 213-230)."""
+        from ...ops.roi_align import roi_align
+        stride = self.strides[self.semantic_level]
+
+        def per_image(sf, rois):
+            return roi_align(sf, rois, out_size, 1.0 / stride)
+        sem = jax.vmap(per_image)(sem_feat, rois_b)
+        if self.semantic_fusion == "mul":
+            return crops * sem
+        if self.semantic_fusion == "attention":
+            return crops * jax.nn.sigmoid(sem)
+        return crops + sem
 
     def loss(self, imgs, gt_boxes, gt_valid, gt_labels, img_shapes,
-             gt_rboxes=None, gt_masks=None, gt_mask_weights=None):
+             gt_rboxes=None, gt_masks=None, gt_mask_weights=None,
+             gt_semantic=None, gt_seg_weights=None):
         """Full training loss (parity: forward_train,
         two_stage.py:130-260 / rbbox_cnn.py:93-209).
 
@@ -233,8 +252,19 @@ class TwoStageDetector(nn.Module):
         rois = jnp.take_along_axis(
             cand, sample.inds[..., None], axis=1)          # [B, R, 4]
 
+        sem_feat = None
+        if self._semantic_head is not None:
+            seg_logits, sem_feat = self._semantic_head(feats)
+            if gt_semantic is not None:
+                from ..heads.semantic_head import semantic_loss
+                losses["loss_seg"] = semantic_loss(
+                    seg_logits, gt_semantic, gt_seg_weights)
+
         crops = self._roi_features(
             feats, rois, self._bbox_head.roi_feat_size)     # [B,R,s,s,C]
+        if sem_feat is not None:
+            crops = self._fuse_semantic(
+                crops, sem_feat, rois, self._bbox_head.roi_feat_size)
         r = rc["num_samples"]
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((b * r,) + crops.shape[2:]))
@@ -277,6 +307,9 @@ class TwoStageDetector(nn.Module):
             pos_rois = rois[:, :p_max]                      # positives first
             pos_sample = jax.tree.map(lambda x: x[:, :p_max], sample)
             mcrops = self._roi_features(feats, pos_rois, 14)
+            if sem_feat is not None:
+                mcrops = self._fuse_semantic(mcrops, sem_feat,
+                                             pos_rois, 14)
             mask_pred = self._mask_head(
                 mcrops.reshape((b * p_max,) + mcrops.shape[2:]))
             # target size must equal the head's output resolution
@@ -331,8 +364,14 @@ class TwoStageDetector(nn.Module):
             img_shapes, **ec["rpn"])
 
         b, p = props.shape[:2]
+        sem_feat = None
+        if self._semantic_head is not None:
+            _, sem_feat = self._semantic_head(feats)
         crops = self._roi_features(
             feats, props, self._bbox_head.roi_feat_size)
+        if sem_feat is not None:
+            crops = self._fuse_semantic(
+                crops, sem_feat, props, self._bbox_head.roi_feat_size)
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((b * p,) + crops.shape[2:]))
         cls_score = cls_score.reshape(b, p, -1)
@@ -370,6 +409,9 @@ class TwoStageDetector(nn.Module):
                 return det_i.boxes[:, :4]
             det_rois = jax.vmap(gather_det_rois)(dets)
             mcrops = self._roi_features(feats, det_rois, 14)
+            if sem_feat is not None:
+                mcrops = self._fuse_semantic(mcrops, sem_feat,
+                                             det_rois, 14)
             k = det_rois.shape[1]
             mask_pred = self._mask_head(
                 mcrops.reshape((b * k,) + mcrops.shape[2:]))
@@ -418,3 +460,10 @@ MaskOBB = _two_stage_factory(
 CenterMapOBB = _two_stage_factory(
     "CenterMapOBB", mask_head=dict(type="CenterMapHead"),
     mask_loss_type="centermap")
+# CenterMap-Net: CenterMapOBB + WPSGA semantic branch fused into the
+# RoI features (configs/dota/centermap_net_tgrs_mask_weight_V4.py)
+CenterMapNet = _two_stage_factory(
+    "CenterMapNet", mask_head=dict(type="CenterMapHead"),
+    mask_loss_type="centermap",
+    semantic_head=dict(type="WPSGAHead", channels=256),
+    semantic_fusion="add")

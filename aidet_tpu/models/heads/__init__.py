@@ -8,3 +8,4 @@ from .retina_head import RetinaHead
 from .fcos_head import FCOSHead, FCOS
 from .atss_head import ATSSHead, ATSS
 from .ssd_head import SSDHead, SSD, build_ssd_anchors
+from .semantic_head import FusedSemanticHead, WPSGAHead, semantic_loss

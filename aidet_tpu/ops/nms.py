@@ -199,12 +199,14 @@ def _per_class_boxes(multi_bboxes, num_classes, dim):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("score_thr", "iou_thr", "max_num", "box_dim"))
+    static_argnames=("score_thr", "iou_thr", "max_num", "box_dim",
+                     "pre_nms_top_k"))
 def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
                    score_thr: float, iou_thr: float = 0.5,
                    max_num: int = 100, score_factors=None,
                    valid: jax.Array | None = None,
-                   box_dim: int = 4) -> NMSResult:
+                   box_dim: int = 4,
+                   pre_nms_top_k: int = 256) -> NMSResult:
     """Per-class NMS over padded candidates, fixed-size top-K output.
 
     Parity: mmdet/core/post_processing/bbox_nms.py:6-76 — per-class
@@ -231,7 +233,28 @@ def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
 
     cls_valid = valid[None] & (scores_t > score_thr)   # [C, N]
 
-    if box_dim == 4:
+    # perf: restrict each class's NMS to its top-k candidates — boxes
+    # below the per-class top pre_nms_top_k can only be suppressed or
+    # rank below max_num, so with pre_nms_top_k ≥ max_num the final
+    # top-max_num output is unchanged while the IoU matrices shrink
+    # from N² to k².
+    if pre_nms_top_k and pre_nms_top_k < n:
+        k = max(pre_nms_top_k, max_num)
+        cand_scores = jnp.where(cls_valid, scores_t, NEG_INF)
+        top_s, top_i = jax.lax.top_k(cand_scores, k)       # [C, k]
+        boxes_k = jnp.take_along_axis(boxes_t, top_i[..., None], axis=1)
+        valid_k = top_s > NEG_INF / 2
+        if box_dim == 4:
+            keep_k = jax.vmap(lambda b, s, v: nms(b, s, iou_thr, v))(
+                boxes_k, top_s, valid_k)
+        else:
+            keep_k = jax.vmap(lambda q, s, v: rnms(q, s, iou_thr, v))(
+                boxes_k, top_s, valid_k)
+        keep = jnp.zeros_like(cls_valid)
+        keep = jax.vmap(lambda km, ti, kk: km.at[ti].set(kk))(
+            keep, top_i, keep_k)
+        keep &= cls_valid
+    elif box_dim == 4:
         keep = jax.vmap(lambda b, s, v: nms(b, s, iou_thr, v))(
             boxes_t, scores_t, cls_valid)
     else:  # rotated candidates: suppress by polygon IoU

@@ -222,6 +222,86 @@ def multilevel_roi_align_fused(feats, rois, out_size=7,
     return out.mean(axis=(2, 4))
 
 
+def batched_multilevel_roi_align(feats_b, rois_b, out_size=7,
+                                 featmap_strides=(4, 8, 16, 32),
+                                 sampling_ratio=2, finest_scale=56,
+                                 aligned=True):
+    """Batched fused RoIAlign: the whole batch's pyramid flattens into
+    ONE [B*T, C] table and all rois gather from it in a single 2-D
+    gather — no vmap (XLA lowers batched gathers poorly on TPU).
+
+    Args:
+      feats_b: list of [B, H_l, W_l, C]; rois_b: [B, R, 4].
+    Returns [B, R, out_size, out_size, C].
+    """
+    num_levels = len(featmap_strides)
+    b, r = rois_b.shape[:2]
+    c = feats_b[0].shape[-1]
+    hs = jnp.asarray([f.shape[1] for f in feats_b], jnp.float32)
+    ws = jnp.asarray([f.shape[2] for f in feats_b], jnp.float32)
+    sizes = [f.shape[1] * f.shape[2] for f in feats_b]
+    level_off = jnp.asarray(
+        [sum(sizes[:i]) for i in range(num_levels)], jnp.float32)
+    per_img = sum(sizes)
+    # [B, sum(HW), C] → [B*sum(HW), C]
+    table = jnp.concatenate(
+        [f.reshape(b, -1, c) for f in feats_b], axis=1).reshape(-1, c)
+
+    rois = rois_b.reshape(b * r, 4)
+    img_off = jnp.repeat(
+        jnp.arange(b, dtype=jnp.float32) * per_img, r)      # [B*R]
+
+    lvls = map_roi_levels(rois, num_levels, finest_scale)
+    stride = jnp.asarray(featmap_strides, jnp.float32)[lvls]
+    h_l = hs[lvls]
+    w_l = ws[lvls]
+    base_off = img_off + level_off[lvls]
+
+    offset = 0.5 if aligned else 0.0
+    inv = 1.0 / stride
+    x1 = rois[:, 0] * inv - offset
+    y1 = rois[:, 1] * inv - offset
+    roi_w = rois[:, 2] * inv - offset - x1
+    roi_h = rois[:, 3] * inv - offset - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    s = sampling_ratio
+    n_pts = out_size * s
+    grid = (jnp.arange(n_pts, dtype=rois.dtype) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * (roi_h / out_size)[:, None]
+    xs = x1[:, None] + grid[None, :] * (roi_w / out_size)[:, None]
+
+    k = b * r
+    yy = jnp.broadcast_to(ys[:, :, None], (k, n_pts, n_pts))
+    xx = jnp.broadcast_to(xs[:, None, :], (k, n_pts, n_pts))
+    hb = h_l[:, None, None]
+    wb = w_l[:, None, None]
+    oob = (yy < -1.0) | (yy > hb) | (xx < -1.0) | (xx > wb)
+    y = jnp.clip(yy, 0.0, hb - 1)
+    x = jnp.clip(xx, 0.0, wb - 1)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1i = jnp.minimum(y0 + 1, hb - 1)
+    x1i = jnp.minimum(x0 + 1, wb - 1)
+    ly = (y - y0)[..., None]
+    lx = (x - x0)[..., None]
+    base = base_off[:, None, None]
+
+    def take(yi, xi):
+        idx = (base + yi * wb + xi).astype(jnp.int32)
+        return table[idx]
+
+    out = (take(y0, x0) * (1 - ly) * (1 - lx)
+           + take(y0, x1i) * (1 - ly) * lx
+           + take(y1i, x0) * ly * (1 - lx)
+           + take(y1i, x1i) * ly * lx)
+    out = jnp.where(oob[..., None], 0.0, out)
+    out = out.reshape(k, out_size, s, out_size, s, c).mean(axis=(2, 4))
+    return out.reshape(b, r, out_size, out_size, c)
+
+
 def _rescale_rois(rois, scale_factor):
     """Scale rois about their centers (single_level.py:75-87)."""
     cx = (rois[:, 0] + rois[:, 2]) * 0.5

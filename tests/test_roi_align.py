@@ -117,6 +117,24 @@ def test_fused_multilevel_gradients():
     assert np.isfinite(total) and total > 0
 
 
+def test_batched_fused_matches_vmapped():
+    from aidet_tpu.ops.roi_align import (batched_multilevel_roi_align,
+                                         multilevel_roi_align_fused)
+    rng = np.random.RandomState(1)
+    b = 2
+    feats = [jnp.asarray(rng.randn(b, 128 // s, 128 // s, 8)
+                         .astype(np.float32)) for s in (4, 8, 16, 32)]
+    rois = jnp.asarray(np.stack([
+        rng.uniform(0, 60, (b, 16)), rng.uniform(0, 60, (b, 16)),
+        rng.uniform(64, 127, (b, 16)), rng.uniform(64, 127, (b, 16))],
+        -1).astype(np.float32))
+    ref = jax.vmap(lambda fs, r: multilevel_roi_align_fused(
+        fs, r, out_size=7))(feats, rois)
+    out = batched_multilevel_roi_align(feats, rois, out_size=7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4)
+
+
 def test_multilevel_batch_of_rois_shape():
     feats = [jnp.ones((64 // s, 64 // s, 8)) for s in (4, 8, 16, 32)]
     rois = jnp.tile(jnp.asarray([[0., 0., 30., 30.]]), (12, 1))

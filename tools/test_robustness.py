@@ -1,0 +1,87 @@
+"""Corruption-robustness benchmark (parity: reference
+tools/test_robustness.py + robustness_eval.py): run inference under
+each corruption × severity, report mean degradation."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--corruptions", nargs="*", default=None)
+    p.add_argument("--severities", type=int, nargs="*",
+                   default=[0, 1, 3, 5])
+    p.add_argument("--max-images", type=int, default=50)
+    p.add_argument("--out", default="robustness.json")
+    args = p.parse_args()
+
+    import numpy as np
+
+    from aidet_tpu.apis.inference import init_detector
+    from aidet_tpu.apis.test import run_inference
+    from aidet_tpu.data.builder import build_dataset
+    from aidet_tpu.data.transforms import CORRUPTIONS, corrupt
+    from aidet_tpu.utils.logging import get_root_logger
+
+    logger = get_root_logger()
+    model, variables, cfg = init_detector(args.config, args.checkpoint)
+    dataset = build_dataset(cfg.data["test"])
+    corruptions = args.corruptions or list(CORRUPTIONS)
+
+    class CorruptedDS:
+        def __init__(self, base, name, severity, n):
+            self.base = base
+            self.name, self.severity = name, severity
+            self.n = min(n, len(base))
+            self.img_infos = base.img_infos[:self.n]
+
+        def __len__(self):
+            return self.n
+
+        def img_path(self, i):
+            return self.base.img_path(i)
+
+    import cv2
+    results = {}
+    for name in ["clean"] + corruptions:
+        for sev in ([0] if name == "clean" else args.severities):
+            if name != "clean" and sev == 0:
+                continue
+            ds = CorruptedDS(dataset, name, sev, args.max_images)
+            # monkey-patch loading through the corruption
+            orig_imread = cv2.imread
+
+            def patched(path, *a):
+                img = orig_imread(path, *a)
+                if img is not None and name != "clean":
+                    img = corrupt(img, name, sev)
+                return img
+            cv2.imread = patched
+            try:
+                res, _ = run_inference(model, variables, ds, batch_size=4)
+            finally:
+                cv2.imread = orig_imread
+            mean_dets = float(np.mean([r["valid"].sum() for r in res]))
+            mean_score = float(np.mean(
+                [r["scores"][r["valid"]].mean() if r["valid"].any()
+                 else 0.0 for r in res]))
+            key = f"{name}_s{sev}" if name != "clean" else "clean"
+            results[key] = dict(mean_dets=mean_dets,
+                                mean_score=mean_score)
+            logger.info("%s: %s", key, results[key])
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    logger.info("saved %s", args.out)
+
+
+if __name__ == "__main__":
+    main()
