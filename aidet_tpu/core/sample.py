@@ -86,6 +86,75 @@ def pseudo_sample_masks(assigned: jax.Array) -> SampleMasks:
     return SampleMasks(pos, neg, pos.sum(), neg.sum())
 
 
+def iou_balanced_neg_masks(key: jax.Array, assigned: jax.Array,
+                           max_overlaps: jax.Array, num_neg,
+                           floor_thr: float = -1.0,
+                           floor_fraction: float = 0.0,
+                           num_bins: int = 3,
+                           neg_iou_ub: float = 0.5) -> jax.Array:
+    """IoU-balanced negative sampling (Libra R-CNN).
+
+    Parity: mmdet/core/bbox/samplers/iou_balanced_neg_sampler.py —
+    negatives are drawn evenly from IoU bins over [floor, ub] so hard
+    negatives aren't swamped by easy ones.  Returns a [N] bool mask of
+    ≤ num_neg selected negatives.
+    """
+    neg_cand = assigned == 0
+    floor = max(floor_thr, 0.0)
+    per_bin = (num_neg * (1.0 - floor_fraction) / num_bins)
+    keys = jax.random.split(key, num_bins + 1)
+    sel = jnp.zeros_like(neg_cand)
+    width = (neg_iou_ub - floor) / num_bins
+    taken = 0
+    for i in range(num_bins):
+        lo = floor + i * width
+        hi = floor + (i + 1) * width
+        in_bin = neg_cand & (max_overlaps >= lo) & (max_overlaps < hi)
+        k = jnp.minimum(jnp.int32(per_bin), num_neg)
+        sel |= random_topk_mask(keys[i], in_bin, k)
+    # fill any shortfall (and the floor set) uniformly from the rest
+    shortfall = num_neg - sel.sum()
+    rest = neg_cand & ~sel
+    sel |= random_topk_mask(keys[-1], rest, shortfall)
+    return sel
+
+
+def instance_balanced_pos_masks(key: jax.Array, assigned: jax.Array,
+                                num_pos, num_gts: int) -> jax.Array:
+    """Instance-balanced positive sampling.
+
+    Parity: mmdet/core/bbox/samplers/instance_balanced_pos_sampler.py —
+    the positive budget is split evenly across gt instances.
+    Returns a [N] bool mask.
+    """
+    pos_cand = assigned > 0
+    per_gt = jnp.maximum(num_pos // jnp.maximum(num_gts, 1), 1)
+    keys = jax.random.split(key, 2)
+    n = assigned.shape[0]
+    r = jax.random.uniform(keys[0], (n,))
+    # rank positives within their own gt group; keep the first per_gt
+    order = jnp.argsort(jnp.where(pos_cand, r, 2.0)
+                        + assigned.astype(jnp.float32) * 4.0)
+    rank_in_group = jnp.zeros(n, jnp.int32)
+    # position within group = running index among same `assigned`
+    sorted_assigned = assigned[order]
+    same_as_prev = jnp.concatenate(
+        [jnp.array([False]), sorted_assigned[1:] == sorted_assigned[:-1]])
+    # cumulative position within equal-assignment runs
+    idx = jnp.arange(n)
+    run_start = jnp.where(~same_as_prev, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    within = idx - run_start
+    rank_in_group = rank_in_group.at[order].set(within)
+    sel = pos_cand & (rank_in_group < per_gt)
+    # fill shortfall uniformly from remaining positives
+    shortfall = num_pos - sel.sum()
+    sel |= random_topk_mask(keys[1], pos_cand & ~sel, shortfall)
+    # never exceed the budget
+    r2 = jax.random.uniform(keys[1], (n,))
+    return topk_mask_by_score(sel, r2, num_pos)
+
+
 class FixedSample(NamedTuple):
     """Fixed-length RoI sample for the second stage (length = num)."""
     inds: jax.Array      # [num] int32 indices into the candidate boxes

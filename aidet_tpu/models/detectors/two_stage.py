@@ -92,6 +92,7 @@ class TwoStageDetector(nn.Module):
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     rbbox_encode: str = "thetaobb"
     mask_loss_type: str = "bce"   # 'bce' (Mask R-CNN) | 'centermap'
+    roi_align_impl: str = "xla"   # 'xla' | 'pallas' (TPU window kernel)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -156,7 +157,12 @@ class TwoStageDetector(nn.Module):
     # ------------------------------------------------------------------
     def _roi_features(self, feats, rois_b, out_size):
         """Batched multi-level RoIAlign: feats are [B, H, W, C] lists,
-        rois_b [B, R, 4] → [B, R, s, s, C] via one flat-table gather."""
+        rois_b [B, R, 4] → [B, R, s, s, C]."""
+        if self.roi_align_impl == "pallas":
+            from ...ops.roi_align_pallas import roi_align_pallas
+            return roi_align_pallas(
+                list(feats[:4]), rois_b, out_size,
+                tuple(self.strides[:4]))
         from ...ops.roi_align import batched_multilevel_roi_align
         return batched_multilevel_roi_align(
             list(feats[:4]), rois_b, out_size=out_size,
@@ -467,3 +473,7 @@ CenterMapNet = _two_stage_factory(
     mask_loss_type="centermap",
     semantic_head=dict(type="WPSGAHead", channels=256),
     semantic_fusion="add")
+# Double-Head R-CNN: conv branch for regression, fc branch for cls
+# (mmdet/models/detectors/double_head_rcnn.py) — a bbox-head swap here
+DoubleHeadRCNN = _two_stage_factory(
+    "DoubleHeadRCNN", bbox_head=dict(type="DoubleConvFCBBoxHead"))

@@ -2,7 +2,8 @@ from .rpn_head import RPNHead
 from .anchor_head import (AnchorHead, flatten_level_outputs,
                           anchor_head_loss, rpn_proposals,
                           anchor_head_bboxes)
-from .bbox_head import BBoxHead, SharedFCBBoxHead, RBBoxHead
+from .bbox_head import (BBoxHead, SharedFCBBoxHead, RBBoxHead,
+                        DoubleConvFCBBoxHead, MaskIoUHead)
 from .mask_head import FCNMaskHead, CenterMapHead
 from .retina_head import RetinaHead
 from .fcos_head import FCOSHead, FCOS

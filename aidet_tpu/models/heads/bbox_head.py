@@ -113,6 +113,83 @@ class RBBoxHead(nn.Module):
         return cls_score, rbbox_pred
 
 
+@HEADS.register
+class DoubleConvFCBBoxHead(nn.Module):
+    """Double-Head R-CNN box head (parity: mmdet/models/bbox_heads/
+    double_bbox_head.py): conv branch (residual blocks) for regression,
+    fc branch for classification."""
+    num_classes: int = 81
+    in_channels: int = 256
+    num_convs: int = 4
+    num_fcs: int = 2
+    conv_out_channels: int = 1024
+    fc_out_channels: int = 1024
+    roi_feat_size: int = 7
+    reg_class_agnostic: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # conv branch → regression
+        c = nn.Conv(self.conv_out_channels, (1, 1), dtype=self.dtype,
+                    name="conv_in")(x)
+        for i in range(self.num_convs):
+            res = nn.relu(nn.Conv(self.conv_out_channels // 4, (1, 1),
+                                  dtype=self.dtype,
+                                  name=f"res{i}_reduce")(c))
+            res = nn.relu(nn.Conv(self.conv_out_channels // 4, (3, 3),
+                                  padding=1, dtype=self.dtype,
+                                  name=f"res{i}_conv")(res))
+            res = nn.Conv(self.conv_out_channels, (1, 1),
+                          dtype=self.dtype, name=f"res{i}_expand")(res)
+            c = nn.relu(c + res)
+        c = c.mean(axis=(1, 2))
+        out_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        bbox_pred = nn.Dense(out_dim, dtype=self.dtype, name="fc_reg")(c)
+
+        # fc branch → classification
+        f = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            f = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                                 name=f"cls_fc{i}")(f))
+        cls_score = nn.Dense(self.num_classes, dtype=self.dtype,
+                             name="fc_cls")(f)
+        return cls_score, bbox_pred
+
+
+@HEADS.register
+class MaskIoUHead(nn.Module):
+    """Mask-IoU prediction head (parity: mmdet/models/mask_heads/
+    maskiou_head.py, Mask Scoring R-CNN): convs over roi feats concat
+    the predicted mask, fcs → per-class mask IoU."""
+    num_convs: int = 4
+    num_fcs: int = 2
+    in_channels: int = 256
+    conv_out_channels: int = 256
+    fc_out_channels: int = 1024
+    num_classes: int = 81
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat, mask_pred):
+        """roi_feat: [N, s, s, C]; mask_pred: [N, 2s, 2s] (selected
+        class channel, sigmoided)."""
+        s = roi_feat.shape[1]
+        mp = mask_pred[:, ::2, ::2][..., None]  # max-pool-2 equivalent
+        x = jnp.concatenate([roi_feat, mp.astype(roi_feat.dtype)], -1)
+        for i in range(self.num_convs):
+            stride = 2 if i == self.num_convs - 1 else 1
+            x = nn.relu(nn.Conv(self.conv_out_channels, (3, 3),
+                                strides=(stride, stride), padding=1,
+                                dtype=self.dtype, name=f"conv{i}")(x))
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                                 name=f"fc{i}")(x))
+        return nn.Dense(self.num_classes - 1, dtype=self.dtype,
+                        name="fc_mask_iou")(x)
+
+
 # ---------------------------------------------------------------------------
 # functional loss / decode
 # ---------------------------------------------------------------------------

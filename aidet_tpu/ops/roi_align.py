@@ -289,6 +289,9 @@ def batched_multilevel_roi_align(feats_b, rois_b, out_size=7,
     lx = (x - x0)[..., None]
     base = base_off[:, None, None]
 
+    # NOTE: plain advanced indexing (row gathers of [*, C]) is the fast
+    # lowering here; explicit lax.gather with slice_sizes=(2, C) to
+    # fetch x-neighbour pairs in one op lowered ~30x SLOWER on TPU.
     def take(yi, xi):
         idx = (base + yi * wb + xi).astype(jnp.int32)
         return table[idx]

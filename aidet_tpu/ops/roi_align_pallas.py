@@ -1,0 +1,264 @@
+"""Pallas TPU kernel for multi-level RoIAlign.
+
+The XLA formulation gathers ~800 scattered feature rows per roi (4
+bilinear corners x P² sample points) — gather-latency-bound on TPU.
+This kernel restructures the op:
+
+1. Every roi reads ONE contiguous [WIN, WIN, C] window of its FPN
+   level, fetched HBM→VMEM with a single async DMA (the window always
+   covers the roi: level assignment is bumped until the roi's span
+   fits, and at the coarsest level the window covers the whole map).
+2. Bilinear sampling + avg pooling are SEPARABLE: the pooled output is
+   out[p,q,:] = Σ_y Σ_x WY[p,y]·WX[q,x]·win[y,x,:] with per-roi
+   weight matrices WY/WX [P, WIN] holding the (subsample-averaged)
+   1-D interpolation weights.  Inside the kernel that is two small
+   dot_generals on the MXU — no scatter/gather at all.
+
+WY/WX and the window origins are precomputed in plain XLA (cheap,
+vectorized over rois).  Backward runs the XLA reference formulation
+via custom_vjp, so training is unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roi_align import batched_multilevel_roi_align, map_roi_levels
+
+WIN_Y = 32        # window height (≥ max roi span + 2 after level bump)
+WIN_X = 48        # window width: span + 2 + sublane alignment slack
+ALIGN = 16        # Mosaic needs DMA x-offsets aligned to the sublane tile
+BLOCK = 8         # rois per grid step
+
+
+def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
+             finest_scale, aligned):
+    """Host-side (XLA) prep: per-roi level/window/weights."""
+    num_levels = len(featmap_strides)
+    b, r = rois_b.shape[:2]
+    k = b * r
+    rois = rois_b.reshape(k, 4)
+    hs = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
+    ws = jnp.asarray([f.shape[2] for f in feats], jnp.float32)
+    strides_arr = jnp.asarray(featmap_strides, jnp.float32)
+
+    # per-level effective windows (levels can be smaller than WIN_*)
+    win_ys = jnp.asarray([min(WIN_Y, f.shape[1]) for f in feats],
+                         jnp.float32)
+    win_xs = jnp.asarray([min(WIN_X, f.shape[2]) for f in feats],
+                         jnp.float32)
+
+    lvls = map_roi_levels(rois, num_levels, finest_scale)
+    # bump the level until the roi fits the window (extreme
+    # aspect-ratio rois only; the coarsest level always fits because
+    # the window covers the entire map there)
+    h_px = rois[:, 3] - rois[:, 1]
+    w_px = rois[:, 2] - rois[:, 0]
+    for _ in range(num_levels - 1):
+        inv_l = 1.0 / strides_arr[lvls]
+        fit_y = h_px * inv_l <= win_ys[lvls] - 2
+        # x-origin is aligned DOWN by up to ALIGN-1, eating window slack
+        fit_x = w_px * inv_l <= win_xs[lvls] - ALIGN - 1
+        fits = (fit_y & fit_x) | (lvls >= num_levels - 1)
+        lvls = jnp.where(fits, lvls, lvls + 1)
+
+    stride = strides_arr[lvls]
+    h_l = hs[lvls]
+    w_l = ws[lvls]
+    offset = 0.5 if aligned else 0.0
+    inv = 1.0 / stride
+    x1 = rois[:, 0] * inv - offset
+    y1 = rois[:, 1] * inv - offset
+    roi_w = rois[:, 2] * inv - offset - x1
+    roi_h = rois[:, 3] * inv - offset - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    s = sampling_ratio
+    n_pts = out_size * s
+    grid = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / s
+    ys = y1[:, None] + grid[None] * (roi_h / out_size)[:, None]  # [K,P]
+    xs = x1[:, None] + grid[None] * (roi_w / out_size)[:, None]
+
+    # window origin: cover floor(min)..floor(max)+1, clamped so the
+    # level's (possibly smaller) window stays in-bounds; x additionally
+    # aligned down to the sublane tile for the DMA
+    wy = jnp.clip(jnp.floor(ys[:, 0]), 0,
+                  jnp.maximum(h_l - win_ys[lvls], 0)).astype(jnp.int32)
+    wx = jnp.clip(jnp.floor(xs[:, 0]), 0,
+                  jnp.maximum(w_l - win_xs[lvls], 0)).astype(jnp.int32)
+    wx = (wx // ALIGN) * ALIGN
+
+    def weights_1d(coords, origin, dim, width):
+        """[K, n_pts] sample coords → pooled weights [K, out, width]."""
+        oob = (coords < -1.0) | (coords > dim[:, None])
+        cc = jnp.clip(coords, 0.0, dim[:, None] - 1)
+        c0 = jnp.floor(cc)
+        frac = cc - c0
+        c1 = jnp.minimum(c0 + 1, dim[:, None] - 1)
+        loc0 = c0 - origin[:, None].astype(jnp.float32)
+        loc1 = c1 - origin[:, None].astype(jnp.float32)
+        iw = jax.lax.broadcasted_iota(jnp.float32, (1, 1, width), 2)
+        w = ((iw == loc0[..., None]) * (1 - frac)[..., None]
+             + (iw == loc1[..., None]) * frac[..., None])
+        w = jnp.where(oob[..., None], 0.0, w)        # [K, n_pts, width]
+        w = w.reshape(-1, out_size, s, width).sum(2) / s
+        return w                                      # [K, out, width]
+
+    wy_mat = weights_1d(ys, wy, h_l, WIN_Y)
+    wx_mat = weights_1d(xs, wx, w_l, WIN_X)
+    b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    return (lvls.astype(jnp.int32), b_idx, wy, wx,
+            wy_mat.astype(jnp.float32), wx_mat.astype(jnp.float32))
+
+
+def _kernel(num_levels, out_size, c, win_sizes, lvl_ref, b_ref, wy_ref,
+            wx_ref, *refs):
+    feat_refs = refs[:num_levels]
+    wy_mat_ref, wx_mat_ref, out_ref = refs[num_levels:num_levels + 3]
+    win, sems = refs[num_levels + 3:]
+
+    pid = pl.program_id(0)
+
+    def dma_for(j, l):
+        i = pid * BLOCK + j
+        wyl, wxl = win_sizes[l]   # static per level (≤ WIN_Y/WIN_X)
+        # hint: x-origins were aligned down to ALIGN on the host, but
+        # Mosaic cannot prove that for a runtime scalar on its own
+        wxo = pl.multiple_of(wx_ref[i], ALIGN)
+        return pltpu.make_async_copy(
+            feat_refs[l].at[b_ref[i], pl.ds(wy_ref[i], wyl),
+                            pl.ds(wxo, wxl), :],
+            win.at[j, pl.ds(0, wyl), pl.ds(0, wxl), :], sems.at[j])
+
+    # scratch starts with arbitrary bits; regions beyond a small
+    # level's window are weight-zeroed, but 0·NaN would poison —
+    # clear once on the first step
+    @pl.when(pid == 0)
+    def _():
+        win[...] = jnp.zeros_like(win)
+
+    for j in range(BLOCK):
+        i = pid * BLOCK + j
+        for l in range(num_levels):
+            @pl.when(lvl_ref[i] == l)
+            def _(j=j, l=l):
+                dma_for(j, l).start()
+
+    for j in range(BLOCK):
+        i = pid * BLOCK + j
+        for l in range(num_levels):
+            @pl.when(lvl_ref[i] == l)
+            def _(j=j, l=l):
+                dma_for(j, l).wait()
+
+        w = win[j].astype(jnp.float32)                # [WIN, WIN, C]
+        wxm = wx_mat_ref[j]                           # [P, WIN]
+        wym = wy_mat_ref[j]
+        # T[q, y, c] = Σ_x wxm[q, x] · w[y, x, c]
+        # HIGHEST precision: default MXU precision rounds f32 operands
+        # to bf16, which would put the kernel ~1e-2 off the exact-f32
+        # elementwise XLA formulation
+        t = jax.lax.dot_general(
+            wxm, w, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)       # [P, WIN, C]
+        # out[p, q, c] = Σ_y wym[p, y] · T[q, y, c]
+        o = jax.lax.dot_general(
+            wym, t, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)       # [P, P, C]
+        out_ref[j] = o.astype(out_ref.dtype)
+
+
+def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
+                          sampling_ratio, finest_scale, aligned):
+    num_levels = len(featmap_strides)
+    b, r = rois_b.shape[:2]
+    k = b * r
+    c = feats[0].shape[-1]
+    pad = (-k) % BLOCK
+    lvls, b_idx, wy, wx, wy_mat, wx_mat = _prepare(
+        feats, rois_b, out_size, featmap_strides, sampling_ratio,
+        finest_scale, aligned)
+    if pad:
+        lvls = jnp.pad(lvls, (0, pad))
+        b_idx = jnp.pad(b_idx, (0, pad))
+        wy = jnp.pad(wy, (0, pad))
+        wx = jnp.pad(wx, (0, pad))
+        wy_mat = jnp.pad(wy_mat, ((0, pad), (0, 0), (0, 0)))
+        wx_mat = jnp.pad(wx_mat, ((0, pad), (0, 0), (0, 0)))
+    kp = k + pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,      # lvls, b_idx, wy, wx
+        grid=(kp // BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels
+        + [pl.BlockSpec((BLOCK, out_size, WIN_Y),
+                        lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((BLOCK, out_size, WIN_X),
+                        lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (BLOCK, out_size, out_size, c),
+            lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, WIN_Y, WIN_X, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((BLOCK,)),
+        ])
+
+    win_sizes = tuple((min(WIN_Y, f.shape[1]), min(WIN_X, f.shape[2]))
+                      for f in feats)
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_levels, out_size, c, win_sizes),
+        out_shape=jax.ShapeDtypeStruct(
+            (kp, out_size, out_size, c), feats[0].dtype),
+        grid_spec=grid_spec,
+    )(lvls, b_idx, wy, wx, *feats, wy_mat, wx_mat)
+    return out[:k].reshape(b, r, out_size, out_size, c)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6))
+def roi_align_pallas(feats, rois_b, out_size=7,
+                     featmap_strides=(4, 8, 16, 32), sampling_ratio=2,
+                     finest_scale=56, aligned=True):
+    """Batched multi-level RoIAlign via the Pallas window kernel.
+
+    Args/semantics match
+    :func:`aidet_tpu.ops.roi_align.batched_multilevel_roi_align`
+    (up to level-bumping of extreme-aspect rois whose span would not
+    fit a WIN² window — those sample one level coarser).
+    """
+    return _roi_align_pallas_fwd(list(feats), rois_b, out_size,
+                                 tuple(featmap_strides), sampling_ratio,
+                                 finest_scale, aligned)
+
+
+def _fwd(feats, rois_b, out_size, featmap_strides, sampling_ratio,
+         finest_scale, aligned):
+    out = roi_align_pallas(feats, rois_b, out_size, featmap_strides,
+                           sampling_ratio, finest_scale, aligned)
+    return out, (list(feats), rois_b)
+
+
+def _bwd(out_size, featmap_strides, sampling_ratio, finest_scale,
+         aligned, res, g):
+    feats, rois_b = res
+    # gradient through the (differentiable-equivalent) XLA formulation
+    _, vjp = jax.vjp(
+        lambda f: batched_multilevel_roi_align(
+            f, rois_b, out_size, featmap_strides, sampling_ratio,
+            finest_scale, aligned), feats)
+    (dfeats,) = vjp(g)
+    return dfeats, jnp.zeros_like(rois_b)
+
+
+roi_align_pallas.defvjp(_fwd, _bwd)
