@@ -41,9 +41,17 @@ def init_detector(config, checkpoint: str | None = None):
     return model, variables, config
 
 
-@functools.lru_cache(maxsize=8)
+_PREDICT_CACHE: dict = {}
+
+
 def _jitted_predict(model):
-    return jax.jit(functools.partial(model.apply, method="predict"))
+    # keyed by object identity: flax modules with dict-typed config
+    # fields are unhashable, so lru_cache can't be used here
+    fn = _PREDICT_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(functools.partial(model.apply, method="predict"))
+        _PREDICT_CACHE[id(model)] = fn
+    return fn
 
 
 def inference_detector(model, variables, img, num_classes=None):

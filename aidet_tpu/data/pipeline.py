@@ -152,9 +152,14 @@ class TestPipeline:
         size = self.img_size
         img, scale = resize_keep_ratio(img, size)
         h, w = img.shape[:2]
-        img = normalize_image(img, self.mean, self.std)
-        padded = np.zeros((size, size, img.shape[-1]), np.float32)
-        padded[:h, :w] = img
+        if img.dtype == np.uint8 and img.shape[-1] == 3:
+            # fused native BGR→RGB + normalise + pad (single pass)
+            from ..native import normalize_pad
+            padded = normalize_pad(img, (size, size), self.mean, self.std)
+        else:
+            x = normalize_image(img, self.mean, self.std)
+            padded = np.zeros((size, size, img.shape[-1]), np.float32)
+            padded[:h, :w] = x
         return dict(imgs=padded,
                     img_shapes=np.asarray([h, w], np.float32),
                     scale_factors=np.asarray(scale, np.float32))

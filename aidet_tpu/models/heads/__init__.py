@@ -10,3 +10,5 @@ from .fcos_head import FCOSHead, FCOS
 from .atss_head import ATSSHead, ATSS
 from .ssd_head import SSDHead, SSD, build_ssd_anchors
 from .semantic_head import FusedSemanticHead, WPSGAHead, semantic_loss
+from .fovea_head import FoveaHead, FOVEA
+from .reppoints_head import RepPointsHead, RepPointsDetector

@@ -133,7 +133,13 @@ def rpn_proposals(cls_flat, box_flat, anchors, level_sizes,
             start += n_lvl
             s = scores_all[sl]
             k = min(nms_pre, n_lvl) if nms_pre > 0 else n_lvl
-            top_s, top_i = jax.lax.top_k(s, k)
+            if n_lvl > 4 * k:
+                # TPU-optimized approximate top-k for the huge fine
+                # levels (recall ~0.95+; candidates below the top-k
+                # would be NMS'd or out-ranked anyway)
+                top_s, top_i = jax.lax.approx_max_k(s, k)
+            else:
+                top_s, top_i = jax.lax.top_k(s, k)
             a = anchors[sl][top_i]
             d = box_p[sl][top_i]
             props = delta2bbox(a, d, target_means, target_stds,
