@@ -30,6 +30,47 @@ OBB_MERGE_NMS_THR = {
     "basketball-court": 0.2}
 
 
+def export_dota_results(aps: dict, mean_ap: float, out_prefix: str,
+                        pr_curves: dict | None = None):
+    """Write per-class AP tables (+optional PR curves) to disk.
+
+    Parity: DOTADataset.evaluate's Excel/PR export (datasets/dota.py:
+    385-411) — CSV always, .xlsx when pandas is available, PR-curve
+    PNG when matplotlib is available.
+    """
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(out_prefix)) or ".",
+                exist_ok=True)
+    rows = sorted(aps.items())
+    with open(out_prefix + ".csv", "w") as f:
+        f.write("class,ap\n")
+        for name, ap in rows:
+            f.write(f"{name},{ap:.4f}\n")
+        f.write(f"mAP,{mean_ap:.4f}\n")
+    try:
+        import pandas as pd
+        pd.DataFrame(rows + [("mAP", mean_ap)],
+                     columns=["class", "ap"]).to_excel(
+            out_prefix + ".xlsx", index=False)
+    except Exception:
+        pass
+    if pr_curves:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            for name, (rec, prec) in pr_curves.items():
+                plt.plot(rec, prec, label=name)
+            plt.xlabel("recall")
+            plt.ylabel("precision")
+            plt.legend(fontsize=6)
+            plt.savefig(out_prefix + "_pr.png", dpi=120)
+            plt.close()
+        except Exception:
+            pass
+    return out_prefix + ".csv"
+
+
 def dota_eval(dets_by_scene: dict, gts_by_scene: dict, classes,
               task: str = "obb", iou_thr: float = 0.5,
               use_07_metric: bool = True):
@@ -73,7 +114,12 @@ def dota_eval(dets_by_scene: dict, gts_by_scene: dict, classes,
             all_tp.append(tp)
             all_fp.append(fp)
             all_scores.append(ds)
-        if not all_scores or num_gts == 0:
+        if num_gts == 0:
+            # VOC convention: classes absent from the gt don't take
+            # part in the mean (they'd otherwise drag mAP to 0 on
+            # subsets that lack some classes)
+            continue
+        if not all_scores:
             aps[name] = 0.0
             continue
         scores = np.concatenate(all_scores)

@@ -46,7 +46,7 @@ DEFAULT_TRAIN_CFG: dict = dict(
                       nms_thr=0.7, min_bbox_size=0),
     rcnn=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
               num_samples=512, pos_fraction=0.25, neg_pos_ub=-1,
-              pos_weight=-1, mask_size=28),
+              pos_weight=-1, mask_size=28, sampler="random"),
 )
 
 DEFAULT_TEST_CFG: dict = dict(
@@ -243,18 +243,57 @@ class TwoStageDetector(nn.Module):
         b = imgs.shape[0]
         keys = jax.random.split(k_rcnn, b)
 
-        def sample_one(cand_i, cand_valid_i, gt_i, gtv_i, k):
+        use_ohem = rc.get("sampler", "random") == "ohem"
+        if use_ohem:
+            # OHEM (parity: samplers/ohem_sampler.py): rank candidates
+            # by their classification loss under the current head —
+            # requires a no-grad head pass over ALL candidates
+            c_all = cand.shape[1]
+            ohem_crops = self._roi_features(
+                jax.tree.map(jax.lax.stop_gradient, feats), cand,
+                self._bbox_head.roi_feat_size)
+            o_cls, _ = self._bbox_head(
+                ohem_crops.reshape((b * c_all,)
+                                   + ohem_crops.shape[2:]))
+            o_cls = jax.lax.stop_gradient(
+                o_cls.reshape(b, c_all, -1))
+        else:
+            o_cls = jnp.zeros(cand.shape[:2] + (1,))
+
+        def sample_one(cand_i, cand_valid_i, gt_i, gtv_i, ocls_i, k):
             res = max_iou_assign(
                 cand_i, gt_i, gtv_i, None,
                 pos_iou_thr=rc["pos_iou_thr"],
                 neg_iou_thr=rc["neg_iou_thr"],
                 min_pos_iou=rc["min_pos_iou"],
                 box_valid=cand_valid_i)
+            if use_ohem:
+                from ...core.sample import topk_mask_by_score
+                # per-candidate CE loss against its assigned label
+                logp = jax.nn.log_softmax(ocls_i, -1)
+                lab = jnp.where(res.gt_inds > 0, res.labels, 0)
+                ce = -jnp.take_along_axis(logp, lab[:, None], -1)[:, 0]
+                num = rc["num_samples"]
+                p_max = int(num * rc["pos_fraction"])
+                pos = topk_mask_by_score(res.gt_inds > 0, ce, p_max)
+                n_pos = pos.sum()
+                neg = topk_mask_by_score(res.gt_inds == 0, ce,
+                                         num - n_pos)
+                n = cand_i.shape[0]
+                big = jnp.float32(n)
+                rank = jnp.where(pos, 0.0, jnp.where(neg, 1.0, 2.0)) \
+                    * big + jnp.arange(n, dtype=jnp.float32)
+                order = jnp.argsort(rank)[:num].astype(jnp.int32)
+                from ...core.sample import FixedSample
+                is_pos = pos[order]
+                return FixedSample(order, is_pos, is_pos | neg[order],
+                                   jnp.where(is_pos,
+                                             res.gt_inds[order] - 1, -1))
             return sample_fixed(k, res.gt_inds, rc["num_samples"],
                                 rc["pos_fraction"], rc["neg_pos_ub"])
 
         sample = jax.vmap(sample_one)(cand, cand_valid, gt_boxes,
-                                      gt_valid, keys)
+                                      gt_valid, o_cls, keys)
         rois = jnp.take_along_axis(
             cand, sample.inds[..., None], axis=1)          # [B, R, 4]
 
@@ -354,6 +393,37 @@ class TwoStageDetector(nn.Module):
         return losses
 
     # ------------------------------------------------------------------
+    def predict_from_proposals(self, imgs, proposals, prop_valid,
+                               img_shapes, scale_factors=None):
+        """Fast R-CNN path: detection from precomputed proposals
+        (parity: mmdet/models/detectors/fast_rcnn.py)."""
+        ec = self._ec
+        feats = self.extract_feat(imgs)
+        b, p = proposals.shape[:2]
+        crops = self._roi_features(
+            feats, proposals, self._bbox_head.roi_feat_size)
+        cls_score, bbox_pred = self._bbox_head(
+            crops.reshape((b * p,) + crops.shape[2:]))
+        cls_score = cls_score.reshape(b, p, -1)
+        bbox_pred = bbox_pred.reshape(b, p, -1)
+        rc = ec["rcnn"]
+
+        def decode_one(rois_i, cls_i, pred_i, shape_i, valid_i):
+            boxes, scores = bbox_head_decode(
+                rois_i, cls_i, pred_i, RCNN_TARGET_MEANS,
+                RCNN_TARGET_STDS, img_shape=shape_i,
+                reg_class_agnostic=self._bbox_head.reg_class_agnostic)
+            return multiclass_nms(boxes, scores, rc["score_thr"],
+                                  rc["nms_thr"], rc["max_per_img"],
+                                  valid=valid_i)
+        dets = jax.vmap(decode_one)(proposals, cls_score, bbox_pred,
+                                    img_shapes, prop_valid)
+        boxes = dets.boxes
+        if scale_factors is not None:
+            boxes = boxes / scale_factors[:, None, None]
+        return dict(boxes=boxes, scores=dets.scores, labels=dets.labels,
+                    valid=dets.valid)
+
     def predict(self, imgs, img_shapes, scale_factors=None):
         """Batched inference (parity: simple_test, two_stage.py:295-317
         + the rotated parallel path rbbox_cnn.py:214-243).
@@ -457,6 +527,9 @@ def _two_stage_factory(name, **preset):
 
 
 FasterRCNN = _two_stage_factory("FasterRCNN")
+# Fast R-CNN: same module; use predict_from_proposals at test time
+# (mmdet/models/detectors/fast_rcnn.py)
+FastRCNN = _two_stage_factory("FastRCNN")
 MaskRCNN = _two_stage_factory(
     "MaskRCNN", mask_head=dict(type="FCNMaskHead"))
 RBBoxRCNN = _two_stage_factory(

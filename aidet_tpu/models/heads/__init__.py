@@ -12,3 +12,4 @@ from .ssd_head import SSDHead, SSD, build_ssd_anchors
 from .semantic_head import FusedSemanticHead, WPSGAHead, semantic_loss
 from .fovea_head import FoveaHead, FOVEA
 from .reppoints_head import RepPointsHead, RepPointsDetector
+from .guided_anchor_head import GARetinaHead, GARetinaNet, ga_targets
