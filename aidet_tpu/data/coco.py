@@ -95,3 +95,68 @@ class CocoDataset:
         if pointobbs:
             out["pointobbs"] = arr(pointobbs, 8)
         return out
+
+    # ------------------------------------------------------------------
+    # results formatting / evaluation
+    # ------------------------------------------------------------------
+    def results2json(self, results, out_file: str):
+        """Padded per-image result dicts → COCO detection json.
+
+        Parity: CocoDataset.results2json (coco.py:197-289).
+        """
+        import json as _json
+        label2cat = {v: k for k, v in self.cat2label.items()}
+        out = []
+        for i, r in enumerate(results):
+            valid = np.asarray(r["valid"]).astype(bool)
+            boxes = np.asarray(r["boxes"])[valid]
+            scores = np.asarray(r["scores"])[valid]
+            labels = np.asarray(r["labels"])[valid]
+            img_id = self.img_infos[i]["id"]
+            for b, s, l in zip(boxes, scores, labels):
+                out.append(dict(
+                    image_id=int(img_id),
+                    bbox=[float(b[0]), float(b[1]),
+                          float(b[2] - b[0] + 1), float(b[3] - b[1] + 1)],
+                    score=float(s),
+                    category_id=int(label2cat.get(int(l) + 1,
+                                                  int(l) + 1))))
+        with open(out_file, "w") as f:
+            _json.dump(out, f)
+        return out_file
+
+    def evaluate(self, results, iou_thrs=None):
+        """COCO-style mAP without pycocotools: mean of eval_map over
+        IoU 0.5:0.95 plus AP50/AP75 (parity target:
+        CocoDataset.evaluate, coco.py:291-392)."""
+        from ..core.eval.mean_ap import eval_map
+        if iou_thrs is None:
+            iou_thrs = np.arange(0.5, 1.0, 0.05)
+        num_classes = len(self.CLASSES)
+        det_lists, gt_lists = [], []
+        for i, r in enumerate(results):
+            valid = np.asarray(r["valid"]).astype(bool)
+            boxes = np.asarray(r["boxes"])[valid]
+            scores = np.asarray(r["scores"])[valid]
+            labels = np.asarray(r["labels"])[valid]
+            per_cls = []
+            for c in range(num_classes):
+                m = labels == c
+                per_cls.append(
+                    np.concatenate([boxes[m], scores[m, None]], -1)
+                    if m.any() else np.zeros((0, 5), np.float32))
+            det_lists.append(per_cls)
+            anns = self.parse_anns(i)
+            gt_lists.append(dict(boxes=anns["bboxes"],
+                                 labels=anns["labels"],
+                                 ignore=anns["bboxes_ignore"]))
+        aps = {}
+        for thr in iou_thrs:
+            m, _ = eval_map(det_lists, gt_lists, iou_thr=float(thr),
+                            num_classes=num_classes)
+            aps[round(float(thr), 2)] = m
+        result = dict(
+            mAP=float(np.mean(list(aps.values()))),
+            AP50=aps.get(0.5, 0.0),
+            AP75=aps.get(0.75, 0.0))
+        return result

@@ -13,3 +13,4 @@ from .semantic_head import FusedSemanticHead, WPSGAHead, semantic_loss
 from .fovea_head import FoveaHead, FOVEA
 from .reppoints_head import RepPointsHead, RepPointsDetector
 from .guided_anchor_head import GARetinaHead, GARetinaNet, ga_targets
+from .grid_head import GridHead, grid_target, grid_to_boxes

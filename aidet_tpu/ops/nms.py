@@ -33,9 +33,15 @@ NEG_INF = -1e10
 _NMS_TILE = 256
 
 
-def _greedy_keep(iou: jax.Array, order: jax.Array, valid: jax.Array,
-                 iou_thr: float) -> jax.Array:
-    """Exact greedy suppression given a precomputed IoU matrix.
+def _greedy_keep(iou_sorted_mat: jax.Array, order: jax.Array,
+                 valid_sorted: jax.Array, iou_thr: float) -> jax.Array:
+    """Exact greedy suppression.
+
+    Args:
+      iou_sorted_mat: [N, N] IoU of the boxes ALREADY in descending
+        score order (computing IoU after the sort avoids a 2·N² gather).
+      order: [N] the sort permutation (to scatter keep back).
+      valid_sorted: [N] validity in sorted order.
 
     Semantics match the reference's CUDA bitmask kernel
     (mmdet/ops/nms/src/nms_kernel.cu): a box is kept iff no
@@ -50,9 +56,8 @@ def _greedy_keep(iou: jax.Array, order: jax.Array, valid: jax.Array,
     depth ≤ k is resolved, so the fixpoint IS the greedy solution.
     Sequential steps drop from N to (N/T)·(fixpoint iters + 1).
     """
-    n = iou.shape[0]
-    iou_sorted = iou[order][:, order] > iou_thr   # [N, N] bool, score order
-    valid_sorted = valid[order]
+    n = iou_sorted_mat.shape[0]
+    iou_sorted = iou_sorted_mat > iou_thr         # [N, N] bool, score order
 
     t = min(_NMS_TILE, n)
     num_tiles = -(-n // t)
@@ -110,8 +115,9 @@ def nms(boxes: jax.Array, scores: jax.Array, iou_thr: float = 0.5,
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
-    iou = bbox_overlaps(boxes, boxes)
-    return _greedy_keep(iou, order, valid, iou_thr)
+    boxes_s = boxes[order]
+    iou = bbox_overlaps(boxes_s, boxes_s)
+    return _greedy_keep(iou, order, valid[order], iou_thr)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thr",))
@@ -123,8 +129,9 @@ def rnms(quads: jax.Array, scores: jax.Array, iou_thr: float = 0.1,
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
-    iou = quad_overlaps(quads, quads)
-    return _greedy_keep(iou, order, valid, iou_thr)
+    quads_s = quads[order]
+    iou = quad_overlaps(quads_s, quads_s)
+    return _greedy_keep(iou, order, valid[order], iou_thr)
 
 
 @functools.partial(jax.jit,
@@ -332,7 +339,9 @@ def batched_nms(boxes, scores, idxs, iou_thr, valid=None):
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
-    iou = bbox_overlaps(boxes, boxes)
-    same = idxs[:, None] == idxs[None, :]
+    boxes_s = boxes[order]
+    idxs_s = idxs[order]
+    iou = bbox_overlaps(boxes_s, boxes_s)
+    same = idxs_s[:, None] == idxs_s[None, :]
     iou = jnp.where(same, iou, 0.0)
-    return _greedy_keep(iou, order, valid, iou_thr)
+    return _greedy_keep(iou, order, valid[order], iou_thr)

@@ -33,7 +33,7 @@ from .roi_align import batched_multilevel_roi_align, map_roi_levels
 WIN_Y = 32        # window height (≥ max roi span + 2 after level bump)
 WIN_X = 48        # window width: span + 2 + sublane alignment slack
 ALIGN = 16        # Mosaic needs DMA x-offsets aligned to the sublane tile
-BLOCK = 8         # rois per grid step
+BLOCK = 8         # rois per grid step (windows double-buffered across steps)
 
 
 def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
@@ -125,9 +125,10 @@ def _kernel(num_levels, out_size, c, win_sizes, lvl_ref, b_ref, wy_ref,
     win, sems = refs[num_levels + 3:]
 
     pid = pl.program_id(0)
+    n_steps = pl.num_programs(0)
 
-    def dma_for(j, l):
-        i = pid * BLOCK + j
+    def dma_for(step, slot, j, l):
+        i = step * BLOCK + j
         wyl, wxl = win_sizes[l]   # static per level (≤ WIN_Y/WIN_X)
         # hint: x-origins were aligned down to ALIGN on the host, but
         # Mosaic cannot prove that for a runtime scalar on its own
@@ -135,30 +136,48 @@ def _kernel(num_levels, out_size, c, win_sizes, lvl_ref, b_ref, wy_ref,
         return pltpu.make_async_copy(
             feat_refs[l].at[b_ref[i], pl.ds(wy_ref[i], wyl),
                             pl.ds(wxo, wxl), :],
-            win.at[j, pl.ds(0, wyl), pl.ds(0, wxl), :], sems.at[j])
+            win.at[slot, j, pl.ds(0, wyl), pl.ds(0, wxl), :],
+            sems.at[slot, j])
+
+    def start_block(step, slot):
+        for j in range(BLOCK):
+            i = step * BLOCK + j
+            for l in range(num_levels):
+                @pl.when(lvl_ref[i] == l)
+                def _(j=j, l=l):
+                    dma_for(step, slot, j, l).start()
 
     # scratch starts with arbitrary bits; regions beyond a small
     # level's window are weight-zeroed, but 0·NaN would poison —
-    # clear once on the first step
+    # clear once, then warm up the pipeline with block 0
     @pl.when(pid == 0)
     def _():
         win[...] = jnp.zeros_like(win)
+        start_block(0, 0)
+
+    cur = jax.lax.rem(pid, 2)
+    nxt = jax.lax.rem(pid + 1, 2)
+    # prefetch the NEXT block's windows while computing this one
+    @pl.when(pid + 1 < n_steps)
+    def _():
+        @pl.when(cur == 0)
+        def _():
+            start_block(pid + 1, 1)
+
+        @pl.when(cur == 1)
+        def _():
+            start_block(pid + 1, 0)
 
     for j in range(BLOCK):
         i = pid * BLOCK + j
         for l in range(num_levels):
-            @pl.when(lvl_ref[i] == l)
-            def _(j=j, l=l):
-                dma_for(j, l).start()
+            for slot in range(2):
+                @pl.when((lvl_ref[i] == l) & (cur == slot))
+                def _(j=j, l=l, slot=slot):
+                    dma_for(pid, slot, j, l).wait()
 
-    for j in range(BLOCK):
-        i = pid * BLOCK + j
-        for l in range(num_levels):
-            @pl.when(lvl_ref[i] == l)
-            def _(j=j, l=l):
-                dma_for(j, l).wait()
-
-        w = win[j].astype(jnp.float32)                # [WIN, WIN, C]
+        wslot = jax.lax.cond(cur == 0, lambda: win[0, j], lambda: win[1, j])
+        w = wslot.astype(jnp.float32)                 # [WIN, WIN, C]
         wxm = wx_mat_ref[j]                           # [P, WIN]
         wym = wy_mat_ref[j]
         # T[q, y, c] = Σ_x wxm[q, x] · w[y, x, c]
@@ -210,8 +229,8 @@ def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
             (BLOCK, out_size, out_size, c),
             lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, WIN_Y, WIN_X, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((BLOCK,)),
+            pltpu.VMEM((2, BLOCK, WIN_Y, WIN_X, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((2, BLOCK)),
         ])
 
     win_sizes = tuple((min(WIN_Y, f.shape[1]), min(WIN_X, f.shape[2]))
