@@ -1,0 +1,44 @@
+"""InstaBoost augmentation (parity: mmdet/datasets/pipelines/
+instaboost.py — a thin wrapper over the external `instaboostfast`
+package in the reference).
+
+`instaboostfast` is not vendored in this image; this wrapper degrades
+to identity with a one-time warning, keeping configs that request it
+loadable (matching how the reference fails only at call time)."""
+
+from __future__ import annotations
+
+import warnings
+
+_WARNED = False
+
+
+class InstaBoost:
+    def __init__(self, action_candidate=("normal", "horizontal", "skip"),
+                 action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                 theta=(-1, 1), color_prob=0.5, hflag=False,
+                 aug_ratio=0.5):
+        self.aug_ratio = aug_ratio
+        try:
+            import instaboostfast as instaboost
+            self._cfg = instaboost.InstaBoostConfig(
+                action_candidate, action_prob, scale, dx, dy, theta,
+                color_prob, hflag)
+            self._instaboost = instaboost
+        except ImportError:
+            self._cfg = None
+            self._instaboost = None
+
+    def __call__(self, img, anns):
+        global _WARNED
+        if self._instaboost is None:
+            if not _WARNED:
+                warnings.warn("instaboostfast is not installed; "
+                              "InstaBoost acts as identity")
+                _WARNED = True
+            return img, anns
+        import numpy as np
+        if np.random.rand() < self.aug_ratio:
+            anns, img = self._instaboost.get_new_data(
+                anns, img, self._cfg, background=None)
+        return img, anns
