@@ -54,9 +54,16 @@ class TrainPipeline:
                  rbox_encode: str = "thetaobb",
                  with_mask: bool = False, mask_size: int = 0,
                  mask_type: str = "binary",
+                 scale_range=None,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD, seed: int = 0):
         """mask_type: 'binary' (Mask R-CNN / MaskOBB) or 'centermap'
-        (soft centerness pseudo-masks, loading.py:160-178)."""
+        (soft centerness pseudo-masks, loading.py:160-178).
+
+        scale_range: optional (lo, hi) multi-scale training range —
+        each sample resizes its long edge to a random target in
+        [lo, hi] (≤ img_size) and pads to img_size, keeping the batch
+        statically shaped (the 'ms' configs of the reference)."""
+        self.scale_range = scale_range
         self.img_size = img_size
         self.max_gt = max_gt
         self.flip_ratio = flip_ratio
@@ -71,7 +78,12 @@ class TrainPipeline:
     def __call__(self, img, anns):
         """img: HWC uint8 BGR (cv2 convention); anns: dict from dataset."""
         size = self.img_size
-        img, scale = resize_keep_ratio(img, size)
+        if self.scale_range is not None:
+            lo, hi = self.scale_range
+            target = int(self.rng.uniform(lo, min(hi, size)))
+        else:
+            target = size
+        img, scale = resize_keep_ratio(img, target)
         boxes = anns["bboxes"] * scale
         pointobbs = anns.get("pointobbs")
         if pointobbs is not None and len(pointobbs):

@@ -1,5 +1,6 @@
-from .two_stage import (TwoStageDetector, FasterRCNN, MaskRCNN, RBBoxRCNN,
-                        MaskOBB, CenterMapOBB, CenterMapNet)
+from .two_stage import (TwoStageDetector, FasterRCNN, FastRCNN, MaskRCNN,
+                        MaskScoringRCNN, RBBoxRCNN, MaskOBB, CenterMapOBB,
+                        CenterMapNet, DoubleHeadRCNN)
 from .single_stage import SingleStageDetector, RetinaNet
 from .rpn import RPN
 from .cascade import CascadeRCNN, HTC

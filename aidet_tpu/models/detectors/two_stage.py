@@ -81,6 +81,7 @@ class TwoStageDetector(nn.Module):
     bbox_head: Any = None
     rbbox_head: Any = None        # RBBoxRCNN branch
     mask_head: Any = None         # Mask R-CNN / MaskOBB / CenterMap branch
+    mask_iou_head: Any = None     # Mask Scoring R-CNN branch
     semantic_head: Any = None     # CenterMap-Net semantic branch
     semantic_fusion: str = "add"  # 'add' | 'mul' | 'attention'
     semantic_level: int = 0       # pyramid level the semantic feat lives at
@@ -111,6 +112,8 @@ class TwoStageDetector(nn.Module):
                            if self.mask_head else None)
         self._semantic_head = (build_head(self.semantic_head)
                                if self.semantic_head else None)
+        self._mask_iou_head = (build_head(self.mask_iou_head)
+                               if self.mask_iou_head else None)
         anchors, sizes = build_pyramid_anchors(
             self.img_size, self.strides,
             scales=self.anchor_scales, ratios=self.anchor_ratios)
@@ -151,7 +154,11 @@ class TwoStageDetector(nn.Module):
             mcrops = multilevel_roi_align_fused(
                 [f[0] for f in feats[:4]], dummy_rois, out_size=14,
                 featmap_strides=tuple(self.strides[:4]))
-            outs += (self._mask_head(mcrops),)
+            mp = self._mask_head(mcrops)
+            outs += (mp,)
+            if self._mask_iou_head is not None:
+                outs += (self._mask_iou_head(
+                    mcrops, jax.nn.sigmoid(mp[..., 0])),)
         return outs
 
     # ------------------------------------------------------------------
@@ -390,6 +397,30 @@ class TwoStageDetector(nn.Module):
                     mask_pred, mtgt, pos_labels,
                     weight=is_pos[:, None, None].astype(jnp.float32),
                     avg_factor=navg)
+
+            if self._mask_iou_head is not None:
+                # Mask Scoring R-CNN (maskiou_head.py): regress the IoU
+                # between the predicted (class-sliced, sigmoided) mask
+                # and the target mask
+                c = mask_pred.shape[-1]
+                idx = jnp.clip(pos_labels.astype(jnp.int32) - 1, 0, c - 1)
+                pred_c = jax.nn.sigmoid(jnp.take_along_axis(
+                    mask_pred, idx[:, None, None, None], axis=-1)[..., 0])
+                pred_bin = pred_c > 0.5
+                tgt_bin = mtgt > 0.5
+                inter = (pred_bin & tgt_bin).sum(axis=(1, 2))
+                union = jnp.maximum((pred_bin | tgt_bin).sum(axis=(1, 2)),
+                                    1)
+                iou_tgt = inter / union
+                flat_feats = mcrops.reshape(
+                    (b * p_max,) + mcrops.shape[2:])
+                iou_pred = self._mask_iou_head(
+                    flat_feats, jax.lax.stop_gradient(pred_c))
+                iou_pred_c = jnp.take_along_axis(
+                    iou_pred, idx[:, None], axis=-1)[:, 0]
+                diff = (iou_pred_c - iou_tgt) * is_pos
+                losses["loss_mask_iou"] = 0.5 * (diff ** 2).sum() \
+                    / jnp.maximum(is_pos.sum(), 1.0)
         return losses
 
     # ------------------------------------------------------------------
@@ -501,6 +532,18 @@ class TwoStageDetector(nn.Module):
             else:
                 probs = jax.nn.sigmoid(mask_sel)
             out["masks"] = probs.reshape(b, k, s, s)
+            if self._mask_iou_head is not None:
+                # rescale detection scores by the predicted mask IoU
+                # (mask_scoring_rcnn.py semantics)
+                flat_feats = mcrops.reshape(
+                    (b * k,) + mcrops.shape[2:])
+                iou_pred = self._mask_iou_head(
+                    flat_feats, jax.nn.sigmoid(mask_sel))
+                iou_c = jnp.take_along_axis(
+                    iou_pred, lbl[:, None], axis=-1)[:, 0]
+                out["mask_scores"] = (out["scores"]
+                                      * jnp.clip(iou_c.reshape(b, k),
+                                                 0.0, 1.0))
         if scale_factors is not None:
             sf = scale_factors.reshape(b, 1, 1)
             out["boxes"] = out["boxes"] / sf
@@ -532,6 +575,9 @@ FasterRCNN = _two_stage_factory("FasterRCNN")
 FastRCNN = _two_stage_factory("FastRCNN")
 MaskRCNN = _two_stage_factory(
     "MaskRCNN", mask_head=dict(type="FCNMaskHead"))
+MaskScoringRCNN = _two_stage_factory(
+    "MaskScoringRCNN", mask_head=dict(type="FCNMaskHead"),
+    mask_iou_head=dict(type="MaskIoUHead"))
 RBBoxRCNN = _two_stage_factory(
     "RBBoxRCNN", rbbox_head=dict(type="RBBoxHead"))
 MaskOBB = _two_stage_factory(

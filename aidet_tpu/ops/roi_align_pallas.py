@@ -33,7 +33,8 @@ from .roi_align import batched_multilevel_roi_align, map_roi_levels
 WIN_Y = 32        # window height (≥ max roi span + 2 after level bump)
 WIN_X = 48        # window width: span + 2 + sublane alignment slack
 ALIGN = 16        # Mosaic needs DMA x-offsets aligned to the sublane tile
-BLOCK = 8         # rois per grid step (windows double-buffered across steps)
+BLOCK_BF16 = 16   # rois per grid step (window VMEM budget)
+BLOCK_F32 = 8     # f32 windows are twice the size
 
 
 def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
@@ -118,8 +119,8 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
             wy_mat.astype(jnp.float32), wx_mat.astype(jnp.float32))
 
 
-def _kernel(num_levels, out_size, c, win_sizes, lvl_ref, b_ref, wy_ref,
-            wx_ref, *refs):
+def _kernel(num_levels, out_size, c, win_sizes, block, lvl_ref, b_ref,
+            wy_ref, wx_ref, *refs):
     feat_refs = refs[:num_levels]
     wy_mat_ref, wx_mat_ref, out_ref = refs[num_levels:num_levels + 3]
     win, sems = refs[num_levels + 3:]
@@ -128,7 +129,7 @@ def _kernel(num_levels, out_size, c, win_sizes, lvl_ref, b_ref, wy_ref,
     n_steps = pl.num_programs(0)
 
     def dma_for(step, slot, j, l):
-        i = step * BLOCK + j
+        i = step * block + j
         wyl, wxl = win_sizes[l]   # static per level (≤ WIN_Y/WIN_X)
         # hint: x-origins were aligned down to ALIGN on the host, but
         # Mosaic cannot prove that for a runtime scalar on its own
@@ -140,8 +141,8 @@ def _kernel(num_levels, out_size, c, win_sizes, lvl_ref, b_ref, wy_ref,
             sems.at[slot, j])
 
     def start_block(step, slot):
-        for j in range(BLOCK):
-            i = step * BLOCK + j
+        for j in range(block):
+            i = step * block + j
             for l in range(num_levels):
                 @pl.when(lvl_ref[i] == l)
                 def _(j=j, l=l):
@@ -149,35 +150,22 @@ def _kernel(num_levels, out_size, c, win_sizes, lvl_ref, b_ref, wy_ref,
 
     # scratch starts with arbitrary bits; regions beyond a small
     # level's window are weight-zeroed, but 0·NaN would poison —
-    # clear once, then warm up the pipeline with block 0
+    # clear once on the first step
     @pl.when(pid == 0)
     def _():
         win[...] = jnp.zeros_like(win)
-        start_block(0, 0)
 
-    cur = jax.lax.rem(pid, 2)
-    nxt = jax.lax.rem(pid + 1, 2)
-    # prefetch the NEXT block's windows while computing this one
-    @pl.when(pid + 1 < n_steps)
-    def _():
-        @pl.when(cur == 0)
-        def _():
-            start_block(pid + 1, 1)
+    del n_steps  # single-buffered: all DMAs of this block up front
+    start_block(pid, 0)
 
-        @pl.when(cur == 1)
-        def _():
-            start_block(pid + 1, 0)
-
-    for j in range(BLOCK):
-        i = pid * BLOCK + j
+    for j in range(block):
+        i = pid * block + j
         for l in range(num_levels):
-            for slot in range(2):
-                @pl.when((lvl_ref[i] == l) & (cur == slot))
-                def _(j=j, l=l, slot=slot):
-                    dma_for(pid, slot, j, l).wait()
+            @pl.when(lvl_ref[i] == l)
+            def _(j=j, l=l):
+                dma_for(pid, 0, j, l).wait()
 
-        wslot = jax.lax.cond(cur == 0, lambda: win[0, j], lambda: win[1, j])
-        w = wslot.astype(jnp.float32)                 # [WIN, WIN, C]
+        w = win[0, j].astype(jnp.float32)             # [WIN, WIN, C]
         wxm = wx_mat_ref[j]                           # [P, WIN]
         wym = wy_mat_ref[j]
         # T[q, y, c] = Σ_x wxm[q, x] · w[y, x, c]
@@ -202,7 +190,10 @@ def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
     b, r = rois_b.shape[:2]
     k = b * r
     c = feats[0].shape[-1]
-    pad = (-k) % BLOCK
+    # window scratch must fit VMEM: halve the block for 4-byte dtypes
+    block = (BLOCK_BF16 if jnp.dtype(feats[0].dtype).itemsize <= 2
+             else BLOCK_F32)
+    pad = (-k) % block
     lvls, b_idx, wy, wx, wy_mat, wx_mat = _prepare(
         feats, rois_b, out_size, featmap_strides, sampling_ratio,
         finest_scale, aligned)
@@ -217,26 +208,27 @@ def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,      # lvls, b_idx, wy, wx
-        grid=(kp // BLOCK,),
+        grid=(kp // block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels
-        + [pl.BlockSpec((BLOCK, out_size, WIN_Y),
+        + [pl.BlockSpec((block, out_size, WIN_Y),
                         lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM),
-           pl.BlockSpec((BLOCK, out_size, WIN_X),
+           pl.BlockSpec((block, out_size, WIN_X),
                         lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
-            (BLOCK, out_size, out_size, c),
+            (block, out_size, out_size, c),
             lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BLOCK, WIN_Y, WIN_X, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((2, BLOCK)),
+            pltpu.VMEM((1, block, WIN_Y, WIN_X, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((1, block)),
         ])
 
     win_sizes = tuple((min(WIN_Y, f.shape[1]), min(WIN_X, f.shape[2]))
                       for f in feats)
     out = pl.pallas_call(
-        functools.partial(_kernel, num_levels, out_size, c, win_sizes),
+        functools.partial(_kernel, num_levels, out_size, c, win_sizes,
+                          block),
         out_shape=jax.ShapeDtypeStruct(
             (kp, out_size, out_size, c), feats[0].dtype),
         grid_spec=grid_spec,

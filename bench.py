@@ -29,24 +29,30 @@ def main():
                       (batch, 1))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
 
-    # reduce outputs to one scalar on-device so timing can force a full
-    # host round-trip per iteration (block_until_ready alone does not
-    # reliably synchronize through remote-device tunnels)
-    def _step(v, im, sh):
-        out = model.apply(v, im, sh, method="predict")
-        acc = out["scores"].sum() + out["boxes"].sum()
+    # thread a device-side accumulator through the calls: the N
+    # dispatches chain on-device and only the final float() pays one
+    # host round-trip (block_until_ready alone does not reliably
+    # synchronize through remote-device tunnels, and a per-iteration
+    # sync would bill the tunnel RTT to every batch)
+    def _step(v, im, sh, acc):
+        out = model.apply(v, im + acc * 0e-9, sh, method="predict")
+        acc = acc + out["scores"].sum() + out["boxes"].sum()
         if "rboxes" in out:
             acc = acc + out["rboxes"].sum()
         return acc
 
     fn = jax.jit(_step)
-    float(fn(variables, imgs, shapes))          # compile + warm
-    float(fn(variables, imgs, shapes))
+    import jax.numpy as jnp2
+    acc = jnp2.float32(0)
+    acc = fn(variables, imgs, shapes, acc)      # compile + warm
+    float(acc)
 
-    n_iters = 5
+    n_iters = 20
+    acc = jnp2.float32(0)
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        s = float(fn(variables, imgs, shapes))  # device_get forces sync
+        acc = fn(variables, imgs, shapes, acc)  # chained on-device
+    float(acc)                                  # one sync at the end
     dt = time.perf_counter() - t0
 
     patches_per_sec = n_iters * batch / dt
