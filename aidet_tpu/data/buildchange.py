@@ -11,3 +11,10 @@ from .coco import CocoDataset
 
 class BuildChangeDataset(CocoDataset):
     CLASSES = BUILDCHANGE_CLASSES
+
+
+class CityscapesDataset(CocoDataset):
+    """Cityscapes instances in COCO format (parity:
+    mmdet/datasets/cityscapes.py)."""
+    CLASSES = ("person", "rider", "car", "truck", "bus", "train",
+               "motorcycle", "bicycle")

@@ -3,10 +3,11 @@
 from __future__ import annotations
 
 from ..utils.registry import Registry, build_from_cfg
-from .buildchange import BuildChangeDataset
+from .buildchange import BuildChangeDataset, CityscapesDataset
 from .coco import CocoDataset
 from .dota import DOTADataset
-from .voc import ConcatDataset, RepeatDataset, VOCDataset, XMLDataset
+from .voc import (ConcatDataset, RepeatDataset, VOCDataset,
+                  WIDERFaceDataset, XMLDataset)
 
 DATASETS = Registry("dataset")
 DATASETS.register(CocoDataset)
@@ -14,6 +15,8 @@ DATASETS.register(DOTADataset)
 DATASETS.register(VOCDataset)
 DATASETS.register(XMLDataset)
 DATASETS.register(BuildChangeDataset)
+DATASETS.register(CityscapesDataset)
+DATASETS.register(WIDERFaceDataset)
 
 
 def build_dataset(cfg, default_args=None):

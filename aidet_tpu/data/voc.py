@@ -96,6 +96,15 @@ class VOCDataset(XMLDataset):
     CLASSES = VOC_CLASSES
 
 
+class WIDERFaceDataset(XMLDataset):
+    """WIDER Face (parity: mmdet/datasets/wider_face.py): XML-style
+    with a single 'face' class and min-size filtering."""
+    CLASSES = ("face",)
+
+    def __init__(self, *args, min_size=17, **kwargs):
+        super().__init__(*args, min_size=min_size, **kwargs)
+
+
 class ConcatDataset:
     """Parity: dataset_wrappers.ConcatDataset."""
 

@@ -130,7 +130,12 @@ class TwoStageDetector(nn.Module):
 
     # ------------------------------------------------------------------
     def extract_feat(self, imgs):
-        return self._neck(self._backbone(imgs))
+        x = self._backbone(imgs)
+        if isinstance(self._neck, (list, tuple)):
+            for n in self._neck:   # stacked necks (e.g. FPN → BFP)
+                x = n(x)
+            return x
+        return self._neck(x)
 
     def __call__(self, imgs):
         """Init/dummy path: touches every submodule so ``init`` creates

@@ -1,0 +1,23 @@
+# Mask OBB (parity: configs/dota/dota_v001_mask_obb_r50_v1_train.py):
+# Mask R-CNN whose OBBs are extracted from masks at eval
+# (aidet_tpu.core.masks.masks_to_thetaobbs)
+model = dict(
+    type="MaskOBB",
+    backbone=dict(type="ResNet", depth=50),
+    neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048),
+              out_channels=256, num_outs=5),
+    rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256,
+                  num_anchors=3),
+    bbox_head=dict(type="SharedFCBBoxHead", num_classes=16,
+                   in_channels=256),
+    mask_head=dict(type="FCNMaskHead", num_classes=16, in_channels=256),
+    img_size=1024)
+data = dict(
+    train=dict(type="DOTADataset",
+               ann_file="data/dota/train_patches.json",
+               img_prefix="data/dota/train_patches"),
+    test=dict(type="DOTADataset", ann_file="data/dota/val_patches.json",
+              img_prefix="data/dota/val_patches", test_mode=True))
+train_pipeline = dict(img_size=1024, with_rbox=True, with_mask=True)
+optimizer = dict(lr=0.02)
+total_epochs = 12
