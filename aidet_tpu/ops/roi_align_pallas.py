@@ -4,10 +4,11 @@ The XLA formulation gathers ~800 scattered feature rows per roi (4
 bilinear corners x P² sample points) — gather-latency-bound on TPU.
 This kernel restructures the op:
 
-1. Every roi reads ONE contiguous [WIN, WIN, C] window of its FPN
+1. Every roi reads ONE contiguous [WIN_Y, WIN_X, C] window of its FPN
    level, fetched HBM→VMEM with a single async DMA (the window always
    covers the roi: level assignment is bumped until the roi's span
-   fits, and at the coarsest level the window covers the whole map).
+   fits, and at the coarsest level the window covers the whole map;
+   x-origins are sublane-aligned for the DMA engine).
 2. Bilinear sampling + avg pooling are SEPARABLE: the pooled output is
    out[p,q,:] = Σ_y Σ_x WY[p,y]·WX[q,x]·win[y,x,:] with per-roi
    weight matrices WY/WX [P, WIN] holding the (subsample-averaged)
@@ -126,7 +127,6 @@ def _kernel(num_levels, out_size, c, win_sizes, block, lvl_ref, b_ref,
     win, sems = refs[num_levels + 3:]
 
     pid = pl.program_id(0)
-    n_steps = pl.num_programs(0)
 
     def dma_for(step, slot, j, l):
         i = step * block + j
@@ -155,7 +155,8 @@ def _kernel(num_levels, out_size, c, win_sizes, block, lvl_ref, b_ref,
     def _():
         win[...] = jnp.zeros_like(win)
 
-    del n_steps  # single-buffered: all DMAs of this block up front
+    # single-buffered: issue all of this block's DMAs up front so
+    # the per-roi computes below overlap the remaining copies
     start_block(pid, 0)
 
     for j in range(block):
@@ -226,11 +227,15 @@ def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
 
     win_sizes = tuple((min(WIN_Y, f.shape[1]), min(WIN_X, f.shape[2]))
                       for f in feats)
+    # output dtype must match the XLA formulation (which promotes to
+    # f32 via the f32 interpolation weights) so the custom_vjp
+    # cotangent dtypes line up
+    out_dtype = jnp.result_type(feats[0].dtype, jnp.float32)
     out = pl.pallas_call(
         functools.partial(_kernel, num_levels, out_size, c, win_sizes,
                           block),
         out_shape=jax.ShapeDtypeStruct(
-            (kp, out_size, out_size, c), feats[0].dtype),
+            (kp, out_size, out_size, c), out_dtype),
         grid_spec=grid_spec,
     )(lvls, b_idx, wy, wx, *feats, wy_mat, wx_mat)
     return out[:k].reshape(b, r, out_size, out_size, c)
