@@ -22,7 +22,7 @@ def main():
     from __graft_entry__ import _build_flagship
 
     img_size = 1024
-    batch = 8
+    batch = 16
     model = _build_flagship(img_size)
     imgs = jnp.zeros((batch, img_size, img_size, 3), jnp.float32)
     shapes = jnp.tile(jnp.asarray([[img_size, img_size]], jnp.float32),
