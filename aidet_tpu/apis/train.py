@@ -29,7 +29,9 @@ def set_random_seed(seed: int):
 
 
 def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
-                   eval_hook=None, logger=None):
+                   eval_hook=None, logger=None,
+                   resume_from: str | None = None,
+                   load_from: str | None = None):
     """Train a detector.
 
     Args:
@@ -76,6 +78,25 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
     img_size = cfg["pipeline"].img_size
     sample = np.zeros((1, img_size, img_size, 3), np.float32)
     state = create_train_state(model, optimizer, sample, rng)
+    start_epoch = 0
+    if resume_from:
+        # full state incl. optimizer + step (runner.resume parity,
+        # apis/train.py:161-164 in the reference)
+        from ..utils.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(resume_from,
+                                      jax.device_get(state))
+        start_epoch = int((meta or {}).get("epoch", 0))
+        logger.info("resumed from %s at epoch %d", resume_from,
+                    start_epoch)
+    elif load_from:
+        # weights only (runner.load_checkpoint parity)
+        from ..utils.checkpoint import load_checkpoint
+        target = {"params": jax.device_get(state.params),
+                  "batch_stats": jax.device_get(state.batch_stats)}
+        restored, _ = load_checkpoint(load_from, target, prefix="model_")
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+        logger.info("loaded weights from %s", load_from)
     state = replicate(state, mesh)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     logger.info("model params: %.2fM over %d devices",
@@ -87,8 +108,8 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
     ckpt_interval = cfg.get("checkpoint_interval", 1)
 
     step_rng = jax.random.fold_in(rng, 1)
-    global_step = 0
-    for epoch in range(total_epochs):
+    global_step = start_epoch * iters_per_epoch
+    for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         for i, batch in enumerate(loader):

@@ -13,6 +13,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train a detector")
     p.add_argument("config", help="config file path")
     p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--total-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
@@ -56,7 +58,8 @@ def main():
     run_cfg["pipeline"] = TrainPipeline(**pipe_cfg)
 
     train_detector(model, dataset, run_cfg, work_dir=work_dir,
-                   logger=logger)
+                   logger=logger, resume_from=args.resume_from,
+                   load_from=args.load_from)
 
 
 if __name__ == "__main__":
