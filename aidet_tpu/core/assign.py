@@ -103,3 +103,51 @@ def max_iou_assign(boxes: jax.Array, gt_boxes: jax.Array,
         safe = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
         labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
     return AssignResult(assigned, jnp.maximum(max_overlaps, 0.0), labels)
+
+
+def point_assign(points: jax.Array, point_strides: jax.Array,
+                 gt_boxes: jax.Array, gt_valid: jax.Array,
+                 gt_labels: jax.Array | None = None,
+                 scale: float = 4.0, pos_num: int = 1) -> AssignResult:
+    """Assign points to gts by scale-matched center distance.
+
+    Parity: mmdet/core/bbox/assigners/point_assigner.py: a gt is
+    matched to the pyramid level whose stride bracket contains its
+    log2 scale; within that level the ``pos_num`` closest points to
+    the gt center become positives (closest gt wins ties).
+
+    Args:
+      points: [P, 2]; point_strides: [P] the stride of each point's
+        level; gt_boxes: [G, 4]; gt_valid: [G].
+    """
+    num_gt = gt_boxes.shape[0]
+    gw = gt_boxes[:, 2] - gt_boxes[:, 0]
+    gh = gt_boxes[:, 3] - gt_boxes[:, 1]
+    gt_scale = jnp.sqrt(jnp.maximum(gw * gh, 1e-6))
+    gt_lvl = jnp.floor(jnp.log2(gt_scale / scale + 1e-6))
+    pt_lvl = jnp.log2(point_strides)
+
+    cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
+    cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
+    dist = jnp.sqrt((points[None, :, 0] - cx[:, None]) ** 2
+                    + (points[None, :, 1] - cy[:, None]) ** 2)  # [G, P]
+    lvl_match = jnp.abs(pt_lvl[None, :] - gt_lvl[:, None]) < 0.5
+    dist = jnp.where(lvl_match & gt_valid[:, None], dist, 1e10)
+
+    # the pos_num closest points per gt claim it; if a point is
+    # claimed by several gts, the CLOSEST gt wins
+    _, close_idx = jax.lax.top_k(-dist, pos_num)              # [G, n]
+    claim = jnp.zeros(dist.shape, bool).at[
+        jnp.arange(num_gt)[:, None], close_idx].set(True)
+    claim &= dist < 1e9
+    claimed_dist = jnp.where(claim, dist, 1e10)
+    best_gt = claimed_dist.argmin(0)                           # [P]
+    has = claimed_dist.min(0) < 1e9
+    assigned = jnp.where(has, best_gt.astype(jnp.int32) + 1, 0)
+    if gt_labels is None:
+        labels = (assigned > 0).astype(jnp.int32)
+    else:
+        safe = jnp.clip(assigned - 1, 0, num_gt - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe],
+                           0).astype(jnp.int32)
+    return AssignResult(assigned, jnp.zeros(points.shape[0]), labels)

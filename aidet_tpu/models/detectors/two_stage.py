@@ -26,7 +26,8 @@ from ...core.anchors import build_pyramid_anchors
 from ...core.assign import max_iou_assign
 from ...core.sample import sample_fixed
 from ...core.targets import bbox_target, mask_target, rbbox_target
-from ...ops.nms import multiclass_nms, select_parallel_rboxes
+from ...core.boxes import delta2bbox
+from ...ops.nms import NEG_INF, multiclass_nms, nms, select_parallel_rboxes
 from ...ops.roi_align import multilevel_roi_align_fused
 from ..builder import build_backbone, build_head, build_neck
 from ..heads.anchor_head import (anchor_head_loss, flatten_level_outputs,
@@ -459,6 +460,89 @@ class TwoStageDetector(nn.Module):
             boxes = boxes / scale_factors[:, None, None]
         return dict(boxes=boxes, scores=dets.scores, labels=dets.labels,
                     valid=dets.valid)
+
+    def aug_predict(self, imgs, img_shapes, flips, scale_factors):
+        """Multi-augmentation (scale × flip) test for ONE image.
+
+        Parity: TwoStageDetector.aug_test (two_stage.py:319-353) with
+        merge_aug_proposals / merge_aug_bboxes
+        (core/post_processing/merge_augs.py): proposals from every aug
+        are mapped back and fused with NMS; the bbox head then scores
+        the SAME merged proposals under each aug, and the mapped-back
+        boxes and scores are averaged before one final NMS.
+
+        Args:
+          imgs: [A, S, S, 3] the augmented variants;
+          img_shapes: [A, 2]; flips: [A] bool; scale_factors: [A].
+        Returns the same dict as :meth:`predict` (leading dim 1).
+        """
+        ec = self._ec
+        feats = self.extract_feat(imgs)
+        rpn_cls, rpn_reg = self._rpn(feats)
+        cls_flat, reg_flat = flatten_level_outputs(
+            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+        props, scores, valid = rpn_proposals(
+            cls_flat, reg_flat, self._anchors, self._level_sizes,
+            img_shapes, **ec["rpn"])
+        a, p = props.shape[:2]
+
+        def unmap(boxes, flip, sf):
+            w_img = self.img_size
+            x1 = jnp.where(flip, w_img - boxes[..., 2] - 1, boxes[..., 0])
+            x2 = jnp.where(flip, w_img - boxes[..., 0] - 1, boxes[..., 2])
+            out = jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], -1)
+            return out / sf
+
+        def remap(boxes, flip, sf):
+            b = boxes * sf
+            w_img = self.img_size
+            x1 = jnp.where(flip, w_img - b[..., 2] - 1, b[..., 0])
+            x2 = jnp.where(flip, w_img - b[..., 0] - 1, b[..., 2])
+            return jnp.stack([x1, b[..., 1], x2, b[..., 3]], -1)
+
+        # merge proposals in the original frame (merge_aug_proposals)
+        props_orig = jax.vmap(unmap)(props, flips, scale_factors)
+        flat_p = props_orig.reshape(a * p, 4)
+        flat_s = scores.reshape(a * p)
+        flat_v = valid.reshape(a * p)
+        keep = nms(flat_p, flat_s, ec["rpn"]["nms_thr"], flat_v)
+        kept_s = jnp.where(keep, flat_s, NEG_INF)
+        k = min(ec["rpn"]["max_num"], flat_s.shape[0])
+        top_s, top_i = jax.lax.top_k(kept_s, k)
+        merged = flat_p[top_i]
+        merged_valid = top_s > NEG_INF / 2
+
+        # score the merged proposals under every aug
+        props_aug = jax.vmap(lambda f, s: remap(merged, f, s))(
+            flips, scale_factors)                       # [A, K, 4]
+        crops = self._roi_features(
+            feats, props_aug, self._bbox_head.roi_feat_size)
+        cls_score, bbox_pred = self._bbox_head(
+            crops.reshape((a * k,) + crops.shape[2:]))
+        cls_score = cls_score.reshape(a, k, -1)
+        bbox_pred = bbox_pred.reshape(a, k, -1)
+
+        def decode_unmap(rois_i, pred_i, shape_i, flip, sf):
+            boxes = delta2bbox(rois_i, pred_i, RCNN_TARGET_MEANS,
+                               RCNN_TARGET_STDS, max_shape=shape_i)
+            n_grp = boxes.shape[-1] // 4
+            g = boxes.reshape(k, n_grp, 4)
+            return jax.vmap(lambda bb: unmap(bb, flip, sf),
+                            in_axes=1, out_axes=1)(g).reshape(k, -1)
+
+        boxes_all = jax.vmap(decode_unmap)(props_aug, bbox_pred,
+                                           img_shapes, flips,
+                                           scale_factors)
+        avg_boxes = boxes_all.mean(0)
+        avg_scores = jax.nn.softmax(cls_score, -1).mean(0)
+
+        rc = ec["rcnn"]
+        from ...ops.nms import NMSResult
+        res = multiclass_nms(avg_boxes, avg_scores, rc["score_thr"],
+                             rc["nms_thr"], rc["max_per_img"],
+                             valid=merged_valid)
+        return dict(boxes=res.boxes[None], scores=res.scores[None],
+                    labels=res.labels[None], valid=res.valid[None])
 
     def predict(self, imgs, img_shapes, scale_factors=None):
         """Batched inference (parity: simple_test, two_stage.py:295-317

@@ -181,17 +181,22 @@ class RepPointsDetector(nn.Module):
         b = imgs.shape[0]
         init_boxes = jax.vmap(self._decode)(init_flat)
         refine_boxes = jax.vmap(self._decode)(refine_flat)
-        center_boxes = self._center_boxes()
 
         def assign_one(g, v, l, cand):
             res = max_iou_assign(cand, g, v, l, pos_iou_thr=0.5,
                                  neg_iou_thr=0.4, min_pos_iou=0.0)
             return res.gt_inds, res.labels
 
-        # init stage: assign by the default center boxes
-        a_init, _ = jax.vmap(
-            lambda g, v, l: assign_one(g, v, l, center_boxes))(
-            gt_boxes, gt_valid, gt_labels)
+        # init stage: scale-matched closest-point assignment
+        # (PointAssigner parity, point_assigner.py)
+        from ...core.assign import point_assign
+
+        def init_assign(g, v, l):
+            res = point_assign(self._points, self._pstrides, g, v, l,
+                               scale=self.point_base_scale)
+            return res.gt_inds
+
+        a_init = jax.vmap(init_assign)(gt_boxes, gt_valid, gt_labels)
         # refine stage: assign by the detached init boxes
         a_ref, lab_ref = jax.vmap(assign_one)(
             gt_boxes, gt_valid, gt_labels,
