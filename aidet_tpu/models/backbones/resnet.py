@@ -42,9 +42,13 @@ class FrozenBN(nn.Module):
                              lambda: jnp.zeros((c,), jnp.float32)).value
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones((c,), jnp.float32)).value
+        # fold stats+affine into one scale/bias IN F32 (tiny vectors),
+        # then apply in the compute dtype: avoids materialising f32
+        # copies of bf16 activation tensors between convs
         inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
-        return y.astype(self.dtype)
+        eff_scale = (scale * inv).astype(self.dtype)
+        eff_bias = (bias - mean * inv * scale).astype(self.dtype)
+        return x.astype(self.dtype) * eff_scale + eff_bias
 
 
 def conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
