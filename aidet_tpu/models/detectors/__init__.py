@@ -1,6 +1,7 @@
 from .two_stage import (TwoStageDetector, FasterRCNN, FastRCNN, MaskRCNN,
                         MaskScoringRCNN, RBBoxRCNN, MaskOBB, CenterMapOBB,
-                        CenterMapNet, DoubleHeadRCNN)
+                        CenterMapNet, DoubleHeadRCNN, GridRCNN,
+                        GAFasterRCNN)
 from .single_stage import SingleStageDetector, RetinaNet
 from .rpn import RPN
 from .cascade import CascadeRCNN, HTC

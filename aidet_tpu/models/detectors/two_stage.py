@@ -83,6 +83,8 @@ class TwoStageDetector(nn.Module):
     rbbox_head: Any = None        # RBBoxRCNN branch
     mask_head: Any = None         # Mask R-CNN / MaskOBB / CenterMap branch
     mask_iou_head: Any = None     # Mask Scoring R-CNN branch
+    grid_head: Any = None         # Grid R-CNN branch
+    grid_roi_size: int = 14       # grid roi extractor output size
     semantic_head: Any = None     # CenterMap-Net semantic branch
     semantic_fusion: str = "add"  # 'add' | 'mul' | 'attention'
     semantic_level: int = 0       # pyramid level the semantic feat lives at
@@ -93,6 +95,8 @@ class TwoStageDetector(nn.Module):
     anchor_scales: Sequence[int] = (8,)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     rbbox_encode: str = "thetaobb"
+    ga_target_stds: Sequence[float] = (0.07, 0.07, 0.14, 0.14)
+    ga_loc_filter_thr: float = 0.01
     mask_loss_type: str = "bce"   # 'bce' (Mask R-CNN) | 'centermap'
     roi_align_impl: str = "xla"   # 'xla' | 'pallas' (TPU window kernel)
     dtype: Any = jnp.float32
@@ -102,9 +106,19 @@ class TwoStageDetector(nn.Module):
             type="ResNet", depth=50, dtype=self.dtype))
         self._neck = build_neck(self.neck or dict(
             type="FPN", num_outs=5, dtype=self.dtype))
+        from collections.abc import Mapping
+        self._ga_rpn = (isinstance(self.rpn_head, Mapping)
+                        and self.rpn_head.get("type") == "GARPNHead")
         self._rpn = build_head(self.rpn_head or dict(
             type="RPNHead", num_anchors=len(self.anchor_scales)
             * len(self.anchor_ratios), dtype=self.dtype))
+        if self._ga_rpn:
+            from ...core.points import build_pyramid_points
+            pts, psizes, pstrides = build_pyramid_points(
+                self.img_size, self.strides)
+            self._ga_points = pts
+            self._ga_pstrides = pstrides
+            self._ga_level_sizes = psizes
         self._bbox_head = build_head(self.bbox_head or dict(
             type="SharedFCBBoxHead", num_classes=16, dtype=self.dtype))
         self._rbbox_head = (build_head(self.rbbox_head)
@@ -115,6 +129,8 @@ class TwoStageDetector(nn.Module):
                                if self.semantic_head else None)
         self._mask_iou_head = (build_head(self.mask_iou_head)
                                if self.mask_iou_head else None)
+        self._grid_head = (build_head(self.grid_head)
+                           if self.grid_head else None)
         anchors, sizes = build_pyramid_anchors(
             self.img_size, self.strides,
             scales=self.anchor_scales, ratios=self.anchor_ratios)
@@ -125,6 +141,10 @@ class TwoStageDetector(nn.Module):
 
         self._rpn_cls_loss = CrossEntropyLoss(use_sigmoid=True)
         self._rpn_bbox_loss = SmoothL1Loss(beta=1.0 / 9.0)
+        if self._ga_rpn:
+            from ..losses import FocalLoss
+            self._ga_loc_loss = FocalLoss(gamma=2.0, alpha=0.25)
+            self._ga_shape_loss = SmoothL1Loss(beta=0.2)
         self._rcnn_cls_loss = CrossEntropyLoss()
         self._rcnn_bbox_loss = SmoothL1Loss(beta=1.0)
         self._centermap_loss = CenterMapLoss()
@@ -142,7 +162,8 @@ class TwoStageDetector(nn.Module):
         """Init/dummy path: touches every submodule so ``init`` creates
         all params (mirrors forward_dummy, two_stage.py:97-128)."""
         feats = self.extract_feat(imgs)
-        rpn_cls, rpn_reg = self._rpn(feats)
+        rpn_all = self._rpn(feats)           # 2-tuple, or 4-tuple for GA
+        rpn_cls, rpn_reg = rpn_all[0], rpn_all[-1]
         b = imgs.shape[0]
         dummy_rois = jnp.tile(
             jnp.asarray([[0.0, 0.0, 100.0, 100.0]], self.dtype), (4, 1))
@@ -165,9 +186,50 @@ class TwoStageDetector(nn.Module):
             if self._mask_iou_head is not None:
                 outs += (self._mask_iou_head(
                     mcrops, jax.nn.sigmoid(mp[..., 0])),)
+        if self._grid_head is not None:
+            gcrops = multilevel_roi_align_fused(
+                [f[0] for f in feats[:4]], dummy_rois,
+                out_size=self.grid_roi_size,
+                featmap_strides=tuple(self.strides[:4]))
+            outs += (self._grid_head(gcrops),)
         return outs
 
     # ------------------------------------------------------------------
+    def _rpn_outputs(self, feats):
+        """Flattened RPN predictions + anchor geometry.
+
+        Returns (cls_flat, reg_flat, anchors, target_stds, level_sizes,
+        loc_keep, ga_extras): for the plain RPN anchors are the static
+        pyramid anchors and loc_keep/ga_extras are None; for GA-RPN
+        (ga_rpn_head.py) anchors are the per-image guided anchors,
+        loc_keep masks locations below the anchor-presence threshold
+        and ga_extras = (shape_flat, loc_flat) feed the GA losses."""
+        if not self._ga_rpn:
+            rpn_cls, rpn_reg = self._rpn(feats)
+            cls_flat, reg_flat = flatten_level_outputs(
+                rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+            return (cls_flat, reg_flat, self._anchors, RPN_TARGET_STDS,
+                    self._level_sizes, None, None)
+        cls_out, shape_out, loc_out, reg_out = self._rpn(feats)
+        b = cls_out[0].shape[0]
+        f = lambda xs, d: jnp.concatenate(
+            [x.reshape(b, -1, d) for x in xs], 1)
+        cls_flat = f(cls_out, 1)
+        shape_flat = f(shape_out, 2)
+        loc_flat = f(loc_out, 1)[..., 0]
+        reg_flat = f(reg_out, 4)
+        base = self._ga_pstrides * 8.0
+        w = base[None] * jnp.exp(shape_flat[..., 0])
+        h = base[None] * jnp.exp(shape_flat[..., 1])
+        cx = self._ga_points[None, :, 0]
+        cy = self._ga_points[None, :, 1]
+        anchors = jnp.stack(
+            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+        loc_keep = jax.nn.sigmoid(loc_flat) > self.ga_loc_filter_thr
+        return (cls_flat, reg_flat, anchors,
+                tuple(self.ga_target_stds), self._ga_level_sizes,
+                loc_keep, (shape_flat, loc_flat))
+
     def _roi_features(self, feats, rois_b, out_size):
         """Batched multi-level RoIAlign: feats are [B, H, W, C] lists,
         rois_b [B, R, 4] → [B, R, s, s, C]."""
@@ -212,40 +274,95 @@ class TwoStageDetector(nn.Module):
         """
         tc = self._tc
         feats = self.extract_feat(imgs)
-        rpn_cls, rpn_reg = self._rpn(feats)
-        cls_flat, reg_flat = flatten_level_outputs(
-            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+        (cls_flat, reg_flat, rpn_anchors, rpn_stds, rpn_lvl_sizes,
+         loc_keep, ga_extras) = self._rpn_outputs(feats)
 
         key = self.make_rng("sampling")
         k_rpn, k_rcnn = jax.random.split(key)
 
         losses = {}
         rpn_cfg = dict(tc["rpn"])
-        rpn_losses = anchor_head_loss(
-            cls_flat, reg_flat, self._anchors,
-            gt_boxes, gt_valid, img_shapes, k_rpn,
-            gt_labels=None,
-            target_stds=RPN_TARGET_STDS,
-            cls_loss=self._rpn_cls_loss, bbox_loss=self._rpn_bbox_loss,
-            assigner_cfg=dict(
-                pos_iou_thr=rpn_cfg["pos_iou_thr"],
-                neg_iou_thr=rpn_cfg["neg_iou_thr"],
-                min_pos_iou=rpn_cfg["min_pos_iou"]),
-            sampler_cfg=dict(
-                num_samples=rpn_cfg["num_samples"],
-                pos_fraction=rpn_cfg["pos_fraction"],
-                neg_pos_ub=rpn_cfg["neg_pos_ub"]),
-            allowed_border=rpn_cfg["allowed_border"],
-            pos_weight=rpn_cfg["pos_weight"],
-            use_sigmoid_cls=True)
-        losses["loss_rpn_cls"] = rpn_losses["loss_cls"]
-        losses["loss_rpn_bbox"] = rpn_losses["loss_bbox"]
+        if self._ga_rpn:
+            # GA-RPN (guided_anchor_head.py loss): location + shape
+            # losses, then cls/reg on the (detached) guided anchors
+            from ...core.anchors import anchor_target
+            from ..heads.guided_anchor_head import ga_targets
+            shape_flat, loc_flat = ga_extras
+            loc_tgt, loc_w, shape_tgt, pos = jax.vmap(
+                lambda g, v, l: ga_targets(
+                    self._ga_points, self._ga_pstrides, g, v, l))(
+                        gt_boxes, gt_valid, gt_labels)
+            n_loc = jnp.maximum(loc_tgt.sum(), 1.0)
+            losses["loss_rpn_loc"] = self._ga_loc_loss(
+                loc_flat[..., None], loc_tgt.astype(jnp.int32),
+                weight=loc_w[..., None], avg_factor=n_loc)
+            losses["loss_rpn_shape"] = self._ga_shape_loss(
+                shape_flat, shape_tgt,
+                weight=jnp.broadcast_to(
+                    pos[..., None], shape_flat.shape).astype(jnp.float32),
+                avg_factor=jnp.maximum(pos.sum(), 1.0))
+
+            anchors_sg = jax.lax.stop_gradient(rpn_anchors)
+
+            def ga_single(cls_s, reg_s, anc, g, v, shp, k):
+                tg = anchor_target(
+                    anc, g[None], v[None], shp[None], k,
+                    target_stds=rpn_stds,
+                    pos_iou_thr=rpn_cfg["pos_iou_thr"],
+                    neg_iou_thr=rpn_cfg["neg_iou_thr"],
+                    min_pos_iou=rpn_cfg["min_pos_iou"],
+                    num_samples=rpn_cfg["num_samples"],
+                    pos_fraction=rpn_cfg["pos_fraction"],
+                    neg_pos_ub=rpn_cfg["neg_pos_ub"],
+                    pos_weight=rpn_cfg["pos_weight"],
+                    sampling=True, allowed_border=-1)
+                num = (tg.num_total_pos
+                       + tg.num_total_neg).astype(jnp.float32)
+                lc = self._rpn_cls_loss(cls_s, tg.labels[0],
+                                        weight=tg.label_weights[0],
+                                        avg_factor=num)
+                lb = self._rpn_bbox_loss(reg_s, tg.bbox_targets[0],
+                                         weight=tg.bbox_weights[0],
+                                         avg_factor=num)
+                return lc, lb
+
+            keys_ga = jax.random.split(k_rpn, imgs.shape[0])
+            lc, lb = jax.vmap(ga_single)(
+                cls_flat, reg_flat, anchors_sg, gt_boxes, gt_valid,
+                img_shapes, keys_ga)
+            losses["loss_rpn_cls"] = lc.mean()
+            losses["loss_rpn_bbox"] = lb.mean()
+            cls_props = jnp.where(loc_keep[..., None], cls_flat, -1e4)
+        else:
+            rpn_losses = anchor_head_loss(
+                cls_flat, reg_flat, rpn_anchors,
+                gt_boxes, gt_valid, img_shapes, k_rpn,
+                gt_labels=None,
+                target_stds=rpn_stds,
+                cls_loss=self._rpn_cls_loss,
+                bbox_loss=self._rpn_bbox_loss,
+                assigner_cfg=dict(
+                    pos_iou_thr=rpn_cfg["pos_iou_thr"],
+                    neg_iou_thr=rpn_cfg["neg_iou_thr"],
+                    min_pos_iou=rpn_cfg["min_pos_iou"]),
+                sampler_cfg=dict(
+                    num_samples=rpn_cfg["num_samples"],
+                    pos_fraction=rpn_cfg["pos_fraction"],
+                    neg_pos_ub=rpn_cfg["neg_pos_ub"]),
+                allowed_border=rpn_cfg["allowed_border"],
+                pos_weight=rpn_cfg["pos_weight"],
+                use_sigmoid_cls=True)
+            losses["loss_rpn_cls"] = rpn_losses["loss_cls"]
+            losses["loss_rpn_bbox"] = rpn_losses["loss_bbox"]
+            cls_props = cls_flat
 
         # proposals (no grad through them, like the reference)
         props, prop_scores, prop_valid = rpn_proposals(
-            jax.lax.stop_gradient(cls_flat),
+            jax.lax.stop_gradient(cls_props),
             jax.lax.stop_gradient(reg_flat),
-            self._anchors, self._level_sizes, img_shapes,
+            jax.lax.stop_gradient(rpn_anchors),
+            rpn_lvl_sizes, img_shapes,
+            target_stds=rpn_stds,
             **tc["rpn_proposal"])
 
         # stage 2: assign + sample per image (add gt as proposals,
@@ -339,6 +456,47 @@ class TwoStageDetector(nn.Module):
             self._bbox_head.reg_class_agnostic)
         losses["loss_cls"] = loss_cls
         losses["loss_bbox"] = loss_bbox
+
+        # grid branch on jittered positive rois (grid_rcnn.py:58-81,
+        # 176-196): whole-map sigmoid-BCE against gaussian grid-point
+        # heatmaps, loss_weight 15 (configs/grid_rcnn)
+        if self._grid_head is not None:
+            from ..heads.grid_head import grid_target
+            p_max = int(rc["num_samples"] * rc["pos_fraction"])
+            pos_rois = rois[:, :p_max]
+            pos_sample = jax.tree.map(lambda x: x[:, :p_max], sample)
+            k_grid = jax.random.fold_in(key, 2)
+            off = jax.random.uniform(k_grid, pos_rois.shape,
+                                     minval=-0.15, maxval=0.15)
+            cxcy = (pos_rois[..., 2:4] + pos_rois[..., :2]) / 2
+            wh = jnp.abs(pos_rois[..., 2:4] - pos_rois[..., :2])
+            new_c = cxcy + wh * off[..., :2]
+            new_wh = wh * (1 + off[..., 2:])
+            jit_rois = jnp.concatenate(
+                [new_c - new_wh / 2, new_c + new_wh / 2], -1)
+            hw = img_shapes[:, None, :]                    # [B, 1, 2]
+            jit_rois = jnp.stack([
+                jnp.clip(jit_rois[..., 0], 0, hw[..., 1] - 1),
+                jnp.clip(jit_rois[..., 1], 0, hw[..., 0] - 1),
+                jnp.clip(jit_rois[..., 2], 0, hw[..., 1] - 1),
+                jnp.clip(jit_rois[..., 3], 0, hw[..., 0] - 1)], -1)
+            gcrops = self._roi_features(feats, jit_rois,
+                                        self.grid_roi_size)
+            heat = self._grid_head(
+                gcrops.reshape((b * p_max,) + gcrops.shape[2:]))
+            hm_size = 2 * self.grid_roi_size
+            gtgt = jax.vmap(lambda s, ro, g: grid_target(
+                s, ro, g, heatmap_size=hm_size,
+                grid_points=self._grid_head.grid_points))(
+                    pos_sample, jit_rois, gt_boxes)
+            gtgt = gtgt.reshape(heat.shape)
+            is_pos_g = pos_sample.is_pos.reshape(-1).astype(jnp.float32)
+            bce = (jnp.maximum(heat, 0) - heat * gtgt
+                   + jnp.log1p(jnp.exp(-jnp.abs(heat))))
+            navg = jnp.maximum(is_pos_g.sum(), 1.0) \
+                * hm_size ** 2 * self._grid_head.grid_points
+            losses["loss_grid"] = 15.0 * (
+                bce * is_pos_g[:, None, None, None]).sum() / navg
 
         # rotated branch (rbbox_cnn.py:192-209)
         if self._rbbox_head is not None:
@@ -478,12 +636,13 @@ class TwoStageDetector(nn.Module):
         """
         ec = self._ec
         feats = self.extract_feat(imgs)
-        rpn_cls, rpn_reg = self._rpn(feats)
-        cls_flat, reg_flat = flatten_level_outputs(
-            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+        (cls_flat, reg_flat, rpn_anchors, rpn_stds, rpn_lvl_sizes,
+         loc_keep, _) = self._rpn_outputs(feats)
+        if loc_keep is not None:
+            cls_flat = jnp.where(loc_keep[..., None], cls_flat, -1e4)
         props, scores, valid = rpn_proposals(
-            cls_flat, reg_flat, self._anchors, self._level_sizes,
-            img_shapes, **ec["rpn"])
+            cls_flat, reg_flat, rpn_anchors, rpn_lvl_sizes,
+            img_shapes, target_stds=rpn_stds, **ec["rpn"])
         a, p = props.shape[:2]
 
         def unmap(boxes, flip, sf):
@@ -552,12 +711,13 @@ class TwoStageDetector(nn.Module):
         """
         ec = self._ec
         feats = self.extract_feat(imgs)
-        rpn_cls, rpn_reg = self._rpn(feats)
-        cls_flat, reg_flat = flatten_level_outputs(
-            rpn_cls, rpn_reg, self._rpn.cls_out_channels)
+        (cls_flat, reg_flat, rpn_anchors, rpn_stds, rpn_lvl_sizes,
+         loc_keep, _) = self._rpn_outputs(feats)
+        if loc_keep is not None:
+            cls_flat = jnp.where(loc_keep[..., None], cls_flat, -1e4)
         props, _, prop_valid = rpn_proposals(
-            cls_flat, reg_flat, self._anchors, self._level_sizes,
-            img_shapes, **ec["rpn"])
+            cls_flat, reg_flat, rpn_anchors, rpn_lvl_sizes,
+            img_shapes, target_stds=rpn_stds, **ec["rpn"])
 
         b, p = props.shape[:2]
         sem_feat = None
@@ -587,6 +747,27 @@ class TwoStageDetector(nn.Module):
                                     img_shapes, prop_valid)
         out = dict(boxes=dets.boxes, scores=dets.scores,
                    labels=dets.labels, valid=dets.valid)
+
+        # grid refinement replaces the regressed boxes with the ones
+        # recovered from the grid heatmaps (grid_rcnn.py:198-226)
+        if self._grid_head is not None:
+            from ..heads.grid_head import grid_to_boxes
+            det_rois = dets.boxes[..., :4]
+            gcrops = self._roi_features(feats, det_rois,
+                                        self.grid_roi_size)
+            k = det_rois.shape[1]
+            heat = self._grid_head(
+                gcrops.reshape((b * k,) + gcrops.shape[2:]))
+            heat = heat.reshape((b, k) + heat.shape[1:])
+            refined = jax.vmap(grid_to_boxes)(heat, det_rois)
+            hw = img_shapes[:, None, :]
+            refined = jnp.stack([
+                jnp.clip(refined[..., 0], 0, hw[..., 1] - 1),
+                jnp.clip(refined[..., 1], 0, hw[..., 0] - 1),
+                jnp.clip(refined[..., 2], 0, hw[..., 1] - 1),
+                jnp.clip(refined[..., 3], 0, hw[..., 0] - 1)], -1)
+            out["boxes"] = jnp.where(dets.valid[..., None], refined,
+                                     out["boxes"])
 
         if self._rbbox_head is not None:
             rcls, rreg = self._rbbox_head(
@@ -681,6 +862,14 @@ CenterMapNet = _two_stage_factory(
     mask_loss_type="centermap",
     semantic_head=dict(type="WPSGAHead", channels=256),
     semantic_fusion="add")
+# GA-Faster R-CNN: guided-anchoring RPN feeding the standard second
+# stage (reference configs/guided_anchoring/ga_faster_*.py)
+GAFasterRCNN = _two_stage_factory(
+    "GAFasterRCNN", rpn_head=dict(type="GARPNHead"))
+# Grid R-CNN: regression replaced by grid-point heatmap localisation
+# (mmdet/models/detectors/grid_rcnn.py)
+GridRCNN = _two_stage_factory(
+    "GridRCNN", grid_head=dict(type="GridHead"))
 # Double-Head R-CNN: conv branch for regression, fc branch for cls
 # (mmdet/models/detectors/double_head_rcnn.py) — a bbox-head swap here
 DoubleHeadRCNN = _two_stage_factory(

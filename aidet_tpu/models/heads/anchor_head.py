@@ -120,8 +120,11 @@ def rpn_proposals(cls_flat, box_flat, anchors, level_sizes,
     nms_post; then global top max_num across levels.  Variable-length
     index selects become validity masks; output is [B, max_num, 4] +
     scores + valid.
+
+    ``anchors`` may be [P, 4] (static, shared across the batch) or
+    [B, P, 4] (per-image guided anchors, GA-RPN).
     """
-    def single(cls_s, box_p, img_shape):
+    def single(cls_s, box_p, img_shape, anchors=anchors):
         if use_sigmoid_cls:
             scores_all = jax.nn.sigmoid(cls_s[..., 0])
         else:
@@ -170,6 +173,8 @@ def rpn_proposals(cls_flat, box_flat, anchors, level_sizes,
         return (jnp.where(out_valid[:, None], out_boxes, 0.0),
                 jnp.where(out_valid, top_s, 0.0), out_valid)
 
+    if anchors.ndim == 3:
+        return jax.vmap(single)(cls_flat, box_flat, img_shapes, anchors)
     return jax.vmap(single)(cls_flat, box_flat, img_shapes)
 
 

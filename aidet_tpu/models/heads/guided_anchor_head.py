@@ -55,7 +55,10 @@ class GARetinaHead(nn.Module):
             -math.log((1 - self.prior_prob) / self.prior_prob))
         conv_loc = nn.Conv(1, (1, 1), bias_init=bias_init,
                            dtype=self.dtype, name="conv_loc")
+        # near-zero shape predictions at init so the guided anchors
+        # start at the base scale (reference normal_init std=0.01)
         conv_shape = nn.Conv(2, (1, 1), dtype=self.dtype,
+                             kernel_init=nn.initializers.normal(0.01),
                              name="conv_shape")
         # feature adaption: shape pred → deform-conv offsets
         offset_conv = nn.Conv(2 * 9, (1, 1), use_bias=False,
@@ -89,6 +92,57 @@ class GARetinaHead(nn.Module):
                     lambda img, oo: deform_conv2d(img, oo, w))(x, o)
             cls_out.append(cls_head(nn.relu(dcn(c, off, adapt_cls_w))))
             reg_out.append(reg_head(nn.relu(dcn(r, off, adapt_reg_w))))
+        return cls_out, shape_out, loc_out, reg_out
+
+
+@HEADS.register
+class GARPNHead(nn.Module):
+    """Guided-anchoring RPN head (parity: mmdet/models/anchor_heads/
+    ga_rpn_head.py): shared 3x3 conv, then location/shape predictions,
+    shape-driven feature adaption, and 1-class sigmoid cls + 4-d reg
+    on the guided anchors."""
+    in_channels: int = 256
+    feat_channels: int = 256
+    prior_prob: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def cls_out_channels(self):
+        return 1
+
+    @nn.compact
+    def __call__(self, feats):
+        rpn_conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
+                           dtype=self.dtype, name="rpn_conv")
+        bias_init = nn.initializers.constant(
+            -math.log((1 - self.prior_prob) / self.prior_prob))
+        conv_loc = nn.Conv(1, (1, 1), bias_init=bias_init,
+                           dtype=self.dtype, name="conv_loc")
+        # near-zero shape predictions at init so the guided anchors
+        # start at the base scale (reference normal_init std=0.01)
+        conv_shape = nn.Conv(2, (1, 1), dtype=self.dtype,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="conv_shape")
+        offset_conv = nn.Conv(2 * 9, (1, 1), use_bias=False,
+                              kernel_init=nn.initializers.zeros,
+                              dtype=self.dtype, name="adaption_offset")
+        adapt_w = self.param(
+            "adapt_kernel", nn.initializers.he_normal(),
+            (3, 3, self.feat_channels, self.feat_channels))
+        cls_head = nn.Conv(1, (1, 1), dtype=self.dtype, name="rpn_cls")
+        reg_head = nn.Conv(4, (1, 1), dtype=self.dtype, name="rpn_reg")
+
+        loc_out, shape_out, cls_out, reg_out = [], [], [], []
+        for f in feats:
+            x = nn.relu(rpn_conv(f))
+            loc_out.append(conv_loc(x))
+            shape = conv_shape(x)
+            shape_out.append(shape)
+            off = offset_conv(jax.lax.stop_gradient(shape))
+            adapted = nn.relu(jax.vmap(
+                lambda img, oo: deform_conv2d(img, oo, adapt_w))(x, off))
+            cls_out.append(cls_head(adapted))
+            reg_out.append(reg_head(adapted))
         return cls_out, shape_out, loc_out, reg_out
 
 

@@ -206,3 +206,34 @@ def test_rpn_detector():
         assert bool(jnp.isfinite(v)), k
     out = _predict(model, variables, data)
     assert out["boxes"].shape == (1, 100, 4)
+
+
+def test_grid_rcnn_train_and_infer():
+    cfg = _small_cfg(
+        grid_head=dict(type="GridHead", num_convs=2, in_channels=64,
+                       conv_out_channels=64))
+    model = build_detector(dict(type="GridRCNN", **cfg))
+    data = demo_inputs(batch=1)
+    variables, losses = _init_and_loss(model, data)
+    assert "loss_grid" in losses
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    out = _predict(model, variables, data)
+    assert out["boxes"].shape == (1, 20, 4)
+    # grid-refined boxes stay inside the image
+    b = np.asarray(out["boxes"])
+    assert b.min() >= 0 and b.max() <= IMG - 1
+
+
+def test_ga_faster_rcnn_train_and_infer():
+    cfg = _small_cfg(
+        rpn_head=dict(type="GARPNHead", in_channels=64, feat_channels=64))
+    model = build_detector(dict(type="GAFasterRCNN", **cfg))
+    data = demo_inputs(batch=1)
+    variables, losses = _init_and_loss(model, data)
+    assert {"loss_rpn_loc", "loss_rpn_shape", "loss_rpn_cls",
+            "loss_rpn_bbox"} <= set(losses)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    out = _predict(model, variables, data)
+    assert out["boxes"].shape == (1, 20, 4)
