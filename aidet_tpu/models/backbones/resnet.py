@@ -130,6 +130,10 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     base_channels: int = 64
+    # empirical-attention plugin per stage (resnet.py gen_attention /
+    # configs/empirical_attention): dict of GeneralizedAttention kwargs
+    gen_attention: dict | None = None
+    gen_attention_stages: Sequence[bool] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
     # accepted for config parity; frozen-BN makes them no-ops here
     frozen_stages: int = 1
@@ -163,6 +167,13 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{i + 1}_block{b}")(x)
                 cur_c = out_c
+                if (self.gen_attention is not None
+                        and self.gen_attention_stages[i]):
+                    from ..plugins import GeneralizedAttention
+                    x = GeneralizedAttention(
+                        in_dim=out_c, dtype=self.dtype,
+                        name=f"layer{i + 1}_block{b}_gen_attention",
+                        **dict(self.gen_attention))(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
