@@ -187,18 +187,23 @@ def thetaobb_flip(thetaobb: jax.Array, img_shape) -> jax.Array:
                       thetaobb[..., 2], theta], axis=-1)
 
 
-def pointobb_flip(pointobb: jax.Array, img_shape) -> jax.Array:
+def pointobb_flip(pointobb: jax.Array, img_shape,
+                  sort_method: str = "best") -> jax.Array:
     """Horizontal flip + canonical re-sort.
 
-    Parity: transforms.py:205-240 (best-point-sort branch): mirror x,
-    swap points 2↔4 to restore winding, then re-canonicalise.
+    Parity: rbbox/transforms.py:205-240: mirror x and swap points 2↔4
+    to restore winding; the default 'best' branch then re-canonicalises
+    with the best-point sort, while the legacy 'extreme' branch keeps
+    the swapped order as-is (transforms.py:214-219).
     """
     w_img = img_shape[1]
     p = pointobb.reshape(pointobb.shape[:-1] + (4, 2))
     x = w_img - p[..., 0] - 1
     p = jnp.stack([x, p[..., 1]], axis=-1)
-    p = p[..., jnp.array([0, 3, 2, 1]), :]
-    return pointobb_best_point_sort(p.reshape(pointobb.shape))
+    p = p[..., jnp.array([0, 3, 2, 1]), :].reshape(pointobb.shape)
+    if sort_method == "extreme":
+        return p
+    return pointobb_best_point_sort(p)
 
 
 def hobb_flip(hobb: jax.Array, img_shape) -> jax.Array:

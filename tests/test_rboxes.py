@@ -227,3 +227,23 @@ def test_rescale():
     np.testing.assert_allclose(s[:, 4], t[:, 4])
     back = np.asarray(rboxes.thetaobb_rescale(jnp.asarray(s), 2.0, reverse=True))
     np.testing.assert_allclose(back, t, rtol=1e-5)
+
+
+def test_pointobb_flip_extreme_sort_variant():
+    import numpy as np
+    import jax.numpy as jnp
+    from aidet_tpu.core.rboxes import pointobb_flip
+
+    pts = jnp.asarray([[10., 20., 50., 22., 48., 60., 8., 58.]])
+    shape = (100, 100)
+    # extreme branch: mirror + swap points 2<->4, no re-sort
+    # (reference rbbox/transforms.py:214-219)
+    got = np.asarray(pointobb_flip(pts, shape, sort_method="extreme"))[0]
+    w = shape[1]
+    exp = np.asarray([w - 10 - 1, 20., w - 8 - 1, 58., w - 48 - 1, 60.,
+                      w - 50 - 1, 22.])
+    np.testing.assert_allclose(got, exp)
+    # both variants describe the same quad (as point sets)
+    best = np.asarray(pointobb_flip(pts, shape))[0]
+    assert (set(map(tuple, got.reshape(4, 2)))
+            == set(map(tuple, best.reshape(4, 2))))
