@@ -135,7 +135,9 @@ class ResNet(nn.Module):
     gen_attention: dict | None = None
     gen_attention_stages: Sequence[bool] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
-    # accepted for config parity; frozen-BN makes them no-ops here
+    # frozen_stages=k stops gradients to the stem and the first k
+    # stages (reference ResNet._freeze_stages sets requires_grad=False
+    # there); BN is frozen everywhere regardless (FrozenBN)
     frozen_stages: int = 1
     norm_eval: bool = True
     style: str = "pytorch"
@@ -149,6 +151,11 @@ class ResNet(nn.Module):
         x = FrozenBN(dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.frozen_stages >= 0:
+            # everything upstream of this activation (stem conv) gets
+            # zero gradient — the in-graph equivalent of
+            # requires_grad=False on the stem params
+            x = jax.lax.stop_gradient(x)
 
         outs = []
         cur_c = self.base_channels
@@ -174,6 +181,8 @@ class ResNet(nn.Module):
                         in_dim=out_c, dtype=self.dtype,
                         name=f"layer{i + 1}_block{b}_gen_attention",
                         **dict(self.gen_attention))(x)
+            if i + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

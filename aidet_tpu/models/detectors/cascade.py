@@ -182,14 +182,15 @@ class CascadeRCNN(nn.Module):
                 weight=flat_tgt.bbox_weights, avg_factor=pos_avg)
 
             last_sample, last_rois = sample, rois
-            # refine rois for the next stage (cascade_rcnn.py refine)
+            # refine rois for the next stage (cascade_rcnn.py refine);
+            # clip to each image's true shape, not the padded canvas
             if stage < self.num_stages - 1:
-                refined = delta2bbox(
-                    rois.reshape(-1, 4),
-                    jax.lax.stop_gradient(bbox_pred),
-                    (0., 0., 0., 0.), stds,
-                    max_shape=(self.img_size, self.img_size))
-                cur_boxes = refined.reshape(b, r, 4)
+                pred_b = jax.lax.stop_gradient(
+                    bbox_pred).reshape(b, r, -1)
+                cur_boxes = jax.vmap(
+                    lambda ro, pr, sh: delta2bbox(
+                        ro, pr, (0., 0., 0., 0.), stds, max_shape=sh))(
+                    rois, pred_b, img_shapes)
                 cur_valid = sample.valid
 
         if self._mask_head is not None and gt_masks is not None:
@@ -238,17 +239,18 @@ class CascadeRCNN(nn.Module):
             ms_scores.append(jax.nn.softmax(
                 cls_score.reshape(b, p, -1), -1))
             if stage < self.num_stages - 1:
-                refined = delta2bbox(
-                    rois.reshape(-1, 4), bbox_pred, (0., 0., 0., 0.),
-                    STAGE_TARGET_STDS[stage],
-                    max_shape=(self.img_size, self.img_size))
-                rois = refined.reshape(b, p, 4)
+                rois = jax.vmap(
+                    lambda ro, pr, sh: delta2bbox(
+                        ro, pr, (0., 0., 0., 0.),
+                        STAGE_TARGET_STDS[stage], max_shape=sh))(
+                    rois, bbox_pred.reshape(b, p, -1), img_shapes)
 
         scores = sum(ms_scores) / self.num_stages
-        final = delta2bbox(
-            rois.reshape(-1, 4), bbox_pred, (0., 0., 0., 0.),
-            STAGE_TARGET_STDS[-1],
-            max_shape=(self.img_size, self.img_size)).reshape(b, p, 4)
+        final = jax.vmap(
+            lambda ro, pr, sh: delta2bbox(
+                ro, pr, (0., 0., 0., 0.), STAGE_TARGET_STDS[-1],
+                max_shape=sh))(
+            rois, bbox_pred.reshape(b, p, -1), img_shapes)
         rc = ec["rcnn"]
 
         def one(boxes_i, scores_i, valid_i):

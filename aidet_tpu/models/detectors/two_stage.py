@@ -546,8 +546,11 @@ class TwoStageDetector(nn.Module):
             navg = jnp.maximum(is_pos.sum(), 1.0) * msize ** 2
             if self.mask_loss_type == "centermap":
                 if gt_mask_weights is not None:
+                    # crop weights with the SAME geometry (mask-space
+                    # rois) and size as the centermap target so each
+                    # weight pixel aligns with its target pixel
                     mw = jax.vmap(lambda s, ro, m: mask_target(
-                        s, ro, m, rc["mask_size"]))(
+                        s, ro * mscale, m, msize))(
                             pos_sample, pos_rois, gt_mask_weights)
                     mw = mw.reshape(mtgt.shape)
                 else:

@@ -219,9 +219,12 @@ def bbox_head_loss(cls_score, bbox_pred, targets, cls_loss, bbox_loss,
         per = bbox_pred.reshape(bbox_pred.shape[0], -1, box_dim)
         idx = jnp.clip(targets.labels, 0, per.shape[1] - 1)
         pred = jnp.take_along_axis(per, idx[:, None, None], axis=1)[:, 0]
-    pos_avg = jnp.maximum(targets.bbox_weights[..., 0].sum(), 1.0)
+    # Regression is averaged by the TOTAL sampled-roi count, not the
+    # positive count (BBoxHead.loss uses avg_factor=bbox_targets.size(0);
+    # in the padded formulation the valid-sample count is the
+    # label-weight sum, since every sampled roi has label weight 1).
     loss_bbox = bbox_loss(pred, targets.bbox_targets,
-                          weight=targets.bbox_weights, avg_factor=pos_avg)
+                          weight=targets.bbox_weights, avg_factor=avg)
     return loss_cls, loss_bbox
 
 

@@ -240,11 +240,14 @@ def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
 
     cls_valid = valid[None] & (scores_t > score_thr)   # [C, N]
 
-    # perf: restrict each class's NMS to its top-k candidates — boxes
-    # below the per-class top pre_nms_top_k can only be suppressed or
-    # rank below max_num, so with pre_nms_top_k ≥ max_num the final
-    # top-max_num output is unchanged while the IoU matrices shrink
-    # from N² to k².
+    # perf: restrict each class's NMS to its top-k candidates, shrinking
+    # the IoU matrices from N² to k².  This is a recall-preserving
+    # APPROXIMATION (like approx_max_k in rpn_proposals), not an exact
+    # equivalence: if suppression removes more than k - max_num of a
+    # class's top-k, boxes outside the top-k that full per-class NMS
+    # would have kept are dropped.  tests/test_nms.py exercises a dense
+    # same-class scene to keep the default honest; pass a larger
+    # pre_nms_top_k (or 0 to disable) for extremely dense scenes.
     if pre_nms_top_k and pre_nms_top_k < n:
         k = max(pre_nms_top_k, max_num)
         cand_scores = jnp.where(cls_valid, scores_t, NEG_INF)

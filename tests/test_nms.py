@@ -218,3 +218,42 @@ def test_batched_nms_classes_dont_interact():
                                        jnp.asarray(scores),
                                        jnp.asarray([0, 0]), 0.5))
     np.testing.assert_array_equal(keep_same, [True, False])
+
+
+def _dense_scene(n_clusters, per_cluster, seed):
+    """DOTA-like dense same-class scene: tight clusters of near-duplicate
+    small boxes (think parking-lot small-vehicles)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(0, 1000, (n_clusters, 2))
+    boxes, scores = [], []
+    for c in centers:
+        for _ in range(per_cluster):
+            jit = c + rng.uniform(-1.5, 1.5, 2)
+            wh = rng.uniform(12, 16, 2)
+            boxes.append([jit[0], jit[1], jit[0] + wh[0], jit[1] + wh[1]])
+            scores.append(rng.uniform(0.05, 1.0))
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    return boxes, scores
+
+
+def test_multiclass_nms_dense_scene_truncation_holds():
+    # 150 clusters x 6 near-duplicates = 900 same-class candidates.
+    # The default pre_nms_top_k=256 truncation must reproduce the exact
+    # (untruncated) top-max_num output on this dense scene — the
+    # regime ops/nms.py's approximation comment is about.
+    boxes, s1 = _dense_scene(150, 6, seed=3)
+    n = boxes.shape[0]
+    scores = np.stack([1 - s1, s1], -1).astype(np.float32)
+    kw = dict(score_thr=0.05, iou_thr=0.5, max_num=100)
+    approx = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            pre_nms_top_k=256, **kw)
+    exact = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                           pre_nms_top_k=0, **kw)
+    va, ve = np.asarray(approx.valid), np.asarray(exact.valid)
+    assert ve.sum() > 0
+    np.testing.assert_array_equal(va, ve)
+    np.testing.assert_allclose(np.asarray(approx.scores)[va],
+                               np.asarray(exact.scores)[ve], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(approx.boxes)[va],
+                               np.asarray(exact.boxes)[ve], atol=1e-5)
