@@ -16,21 +16,39 @@ from ..data.pipeline import TestPipeline
 
 
 def run_inference(model, variables, dataset, batch_size: int = 8,
-                  img_size: int | None = None, progress=None):
+                  img_size: int | None = None, progress=None,
+                  mesh=None, num_shards: int = 1, shard_id: int = 0):
     """Run the jitted predict path over a dataset.
+
+    Multi-chip/multi-host (parity: multi_gpu_test + collect_results,
+    mmdet/apis/test.py:31-146): pass a data ``mesh`` to shard each
+    batch's leading dim over the chips (params replicated), and
+    ``num_shards``/``shard_id`` (one shard per host process) to split
+    the dataset — results are all-gathered and re-ordered at the end.
 
     Returns (results, names): results is a list of per-image dicts
     (boxes/scores/labels/valid [+rboxes/masks]), names the file names.
     """
     pipe = TestPipeline(img_size=img_size
                         or getattr(model, "img_size", 1024))
-    predict = jax.jit(functools.partial(model.apply, method="predict"))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        predict = jax.jit(
+            functools.partial(model.apply, method="predict"),
+            in_shardings=(repl, data, data, data),
+            out_shardings=repl)
+    else:
+        predict = jax.jit(functools.partial(model.apply,
+                                            method="predict"))
 
     import cv2
     results, names = [], []
     n = len(dataset)
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
+    my_idxs = list(range(shard_id, n, num_shards))
+    for start in range(0, len(my_idxs), batch_size):
+        idxs = my_idxs[start:start + batch_size]
         samples = []
         for i in idxs:
             img = cv2.imread(dataset.img_path(i))
@@ -49,5 +67,9 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
             results.append({k: v[j] for k, v in out.items()})
             names.append(dataset.img_infos[i]["file_name"])
         if progress:
-            progress(len(results), n)
+            progress(len(results), len(my_idxs))
+    if num_shards > 1:
+        from ..parallel.dist import gather_results
+        results = gather_results(results, num_shards, shard_id, n)
+        names = [dataset.img_infos[i]["file_name"] for i in range(n)]
     return results, names

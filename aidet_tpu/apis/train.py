@@ -49,6 +49,15 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
     seed = cfg.get("seed", 0)
     rng = set_random_seed(seed)
 
+    # multi-host: one process per host feeds its shard of the global
+    # batch (parity: init_dist + DistributedGroupSampler,
+    # tools/train.py:47-51 / samplers/group_sampler.py:50-137)
+    from ..parallel.dist import init_distributed, local_batch_to_global
+    if cfg.get("distributed", False):
+        proc_id, proc_count = init_distributed()
+    else:
+        proc_id, proc_count = jax.process_index(), jax.process_count()
+
     n_avail = len(jax.devices())
     batch_size = cfg.get("batch_size", n_avail * 2)
     n_dev = cfg.get("n_devices")
@@ -57,9 +66,13 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
                     if batch_size % d == 0)
     mesh = create_mesh(n_dev)
     assert batch_size % n_dev == 0, "global batch must divide the mesh"
+    assert batch_size % proc_count == 0, \
+        "global batch must divide the process count"
 
-    loader = GroupedLoader(dataset, cfg["pipeline"], batch_size,
+    loader = GroupedLoader(dataset, cfg["pipeline"],
+                           batch_size // proc_count,
                            seed=seed,
+                           num_shards=proc_count, shard_id=proc_id,
                            num_workers=cfg.get("num_workers", 4))
     iters_per_epoch = max(len(loader), 1)
     opt_cfg = cfg.get("optimizer", {})
@@ -113,7 +126,7 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
         loader.set_epoch(epoch)
         t0 = time.time()
         for i, batch in enumerate(loader):
-            batch = shard_batch(batch, mesh)
+            batch = local_batch_to_global(batch, mesh)
             state, metrics = step_fn(state, batch, step_rng)
             global_step += 1
             if global_step % log_interval == 0:

@@ -151,3 +151,70 @@ def point_assign(points: jax.Array, point_strides: jax.Array,
         labels = jnp.where(assigned > 0, gt_labels[safe],
                            0).astype(jnp.int32)
     return AssignResult(assigned, jnp.zeros(points.shape[0]), labels)
+
+
+def approx_max_iou_assign(approxs: jax.Array, gt_boxes: jax.Array,
+                          gt_valid: jax.Array,
+                          gt_labels: jax.Array | None = None,
+                          box_valid: jax.Array | None = None,
+                          **assign_kwargs) -> AssignResult:
+    """Assign gts to GROUPS of approx anchors by the group-max IoU.
+
+    Parity: ApproxMaxIoUAssigner.assign
+    (mmdet/core/bbox/assigners/approx_max_iou_assigner.py:52-150): each
+    square (guided-anchoring base location) is represented by
+    ``approxs_per_octave`` approx anchors; the assignment quality of
+    the group is the MAX IoU any of its approxs reaches with the gt.
+    The thresholding/claiming steps then mirror MaxIoUAssigner.
+
+    Args:
+      approxs: [N, per_octave, 4] approx anchors per square.
+      gt_boxes: [G, 4]; gt_valid: [G]; box_valid: [N].
+    Returns an AssignResult over the N squares.
+    """
+    n, per = approxs.shape[:2]
+    all_iou = bbox_overlaps(gt_boxes, approxs.reshape(n * per, 4))
+    group_iou = all_iou.reshape(-1, n, per).max(axis=2)     # [G, N]
+    # feed the precomputed overlap matrix through the standard
+    # branchless assignment by encoding it as fake boxes is wasteful —
+    # instead replicate the assign_wrt_overlaps steps directly
+    overlaps = jnp.where(gt_valid[:, None], group_iou, 0.0)
+    if box_valid is not None:
+        overlaps = jnp.where(box_valid[None, :], overlaps, -1.0)
+
+    pos_iou_thr = assign_kwargs.get("pos_iou_thr", 0.7)
+    neg_iou_thr = assign_kwargs.get("neg_iou_thr", 0.3)
+    min_pos_iou = assign_kwargs.get("min_pos_iou", 0.0)
+    gt_max_assign_all = assign_kwargs.get("gt_max_assign_all", True)
+
+    max_overlaps = overlaps.max(axis=0)
+    argmax_overlaps = overlaps.argmax(axis=0)
+    assigned = jnp.full((n,), -1, jnp.int32)
+    if isinstance(neg_iou_thr, (tuple, list)):
+        lo, hi = neg_iou_thr
+        is_neg = (max_overlaps >= lo) & (max_overlaps < hi)
+    else:
+        is_neg = (max_overlaps >= 0) & (max_overlaps < neg_iou_thr)
+    assigned = jnp.where(is_neg, 0, assigned)
+    is_pos = max_overlaps >= pos_iou_thr
+    assigned = jnp.where(is_pos, argmax_overlaps.astype(jnp.int32) + 1,
+                         assigned)
+    gt_max = overlaps.max(axis=1, keepdims=True)
+    claim = (overlaps == gt_max) & (gt_max >= min_pos_iou) \
+        & gt_valid[:, None]
+    if not gt_max_assign_all:
+        best_box = overlaps.argmax(axis=1)
+        claim &= jnp.zeros_like(claim).at[
+            jnp.arange(claim.shape[0]), best_box].set(True)
+    gt_ids = jnp.arange(1, claim.shape[0] + 1, dtype=jnp.int32)[:, None]
+    claimed = (claim * gt_ids).max(axis=0)
+    assigned = jnp.where(claimed > 0, claimed, assigned)
+    if box_valid is not None:
+        assigned = jnp.where(box_valid, assigned, -1)
+    if gt_labels is None:
+        labels = jnp.where(assigned > 0, 1, 0).astype(jnp.int32)
+    else:
+        safe = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe],
+                           0).astype(jnp.int32)
+    return AssignResult(assigned, jnp.maximum(max_overlaps, 0.0), labels)

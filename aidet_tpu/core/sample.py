@@ -191,3 +191,55 @@ def sample_fixed(key: jax.Array, assigned: jax.Array, num: int,
     valid = is_pos | neg[order]
     gt = jnp.where(is_pos, assigned[order] - 1, -1)
     return FixedSample(order, is_pos, valid, gt)
+
+
+def sample_fixed_combined(key: jax.Array, assigned: jax.Array,
+                          max_overlaps: jax.Array, num: int,
+                          pos_fraction: float,
+                          neg_pos_ub: float = -1.0,
+                          pos_sampler: str = "instance_balanced",
+                          neg_sampler: str = "iou_balanced",
+                          num_gts: int = 256,
+                          floor_thr: float = -1.0,
+                          floor_fraction: float = 0.0,
+                          num_bins: int = 3) -> FixedSample:
+    """Fixed-size sampling with separately configured positive and
+    negative strategies.
+
+    Parity: CombinedSampler
+    (mmdet/core/bbox/samplers/combined_sampler.py) — the reference
+    composes a pos_sampler and neg_sampler (the Libra R-CNN config uses
+    InstanceBalancedPosSampler + IoUBalancedNegSampler); here each side
+    picks its mask strategy and the result packs into the standard
+    FixedSample layout.
+    """
+    kp, kn = jax.random.split(key)
+    n = assigned.shape[0]
+    num_pos_max = int(num * pos_fraction)
+
+    if pos_sampler == "instance_balanced":
+        pos = instance_balanced_pos_masks(kp, assigned, num_pos_max,
+                                          num_gts)
+    else:
+        pos = random_topk_mask(kp, assigned > 0, num_pos_max)
+    num_pos = pos.sum()
+    num_neg = num - num_pos
+    if neg_pos_ub >= 0:
+        ub = (neg_pos_ub * jnp.maximum(num_pos, 1)).astype(jnp.int32)
+        num_neg = jnp.minimum(num_neg, ub)
+    if neg_sampler == "iou_balanced":
+        neg = iou_balanced_neg_masks(kn, assigned, max_overlaps, num_neg,
+                                     floor_thr=floor_thr,
+                                     floor_fraction=floor_fraction,
+                                     num_bins=num_bins)
+    else:
+        neg = random_topk_mask(kn, assigned == 0, num_neg)
+
+    big = jnp.float32(n)
+    rank = jnp.where(pos, 0.0, jnp.where(neg, 1.0, 2.0)) * big \
+        + jnp.arange(n, dtype=jnp.float32)
+    order = jnp.argsort(rank)[:num].astype(jnp.int32)
+    is_pos = pos[order]
+    valid = is_pos | neg[order]
+    gt = jnp.where(is_pos, assigned[order] - 1, -1)
+    return FixedSample(order, is_pos, valid, gt)

@@ -54,15 +54,37 @@ class TrainPipeline:
                  rbox_encode: str = "thetaobb",
                  with_mask: bool = False, mask_size: int = 0,
                  mask_type: str = "binary",
+                 with_mask_weight: bool = False,
+                 with_reverse_mask_weight: bool = False,
+                 with_semantic: bool = False,
+                 with_heatmap_weight: bool = False,
+                 centermap_rate: float = 0.5,
+                 centermap_factor: float = 4.0,
+                 seg_scale: int = 4,
                  scale_range=None,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD, seed: int = 0):
         """mask_type: 'binary' (Mask R-CNN / MaskOBB) or 'centermap'
         (soft centerness pseudo-masks, loading.py:160-178).
 
+        CenterMap-Net extras (parity: LoadAnnotations flags,
+        loading.py:80-128, 211-230 + SegRescale 1/4):
+          with_mask_weight / with_reverse_mask_weight — per-instance
+            weight maps warped from the (255-centerness) resp.
+            centerness template (mutually exclusive, like the
+            reference's assert) → sample['gt_mask_weights'];
+          with_semantic — class-index pseudo-segmentation painted from
+            the OBB quads at img_size/seg_scale → sample['gt_semantic'];
+          with_heatmap_weight — scene centerness heatmap in [0, 1] at
+            the same resolution → sample['gt_seg_weights'];
+          centermap_rate/centermap_factor — template shape parameters
+            (centermap_rate=0.5, centermap_factor=4 in
+            configs/dota/centermap_net_tgrs_mask_weight_V4.py).
+
         scale_range: optional (lo, hi) multi-scale training range —
         each sample resizes its long edge to a random target in
         [lo, hi] (≤ img_size) and pads to img_size, keeping the batch
         statically shaped (the 'ms' configs of the reference)."""
+        assert not (with_mask_weight and with_reverse_mask_weight)
         self.scale_range = scale_range
         self.img_size = img_size
         self.max_gt = max_gt
@@ -72,6 +94,13 @@ class TrainPipeline:
         self.with_mask = with_mask
         self.mask_size = mask_size or img_size // 4
         self.mask_type = mask_type
+        self.with_mask_weight = with_mask_weight
+        self.with_reverse_mask_weight = with_reverse_mask_weight
+        self.with_semantic = with_semantic
+        self.with_heatmap_weight = with_heatmap_weight
+        self.centermap_rate = centermap_rate
+        self.centermap_factor = centermap_factor
+        self.seg_scale = seg_scale
         self.mean, self.std = mean, std
         self.rng = np.random.RandomState(seed)
 
@@ -144,11 +173,40 @@ class TrainPipeline:
                     masks[:n] = pointobbs2centermap(
                         np.asarray(pointobbs[:n]), (self.img_size,
                                                     self.img_size),
-                        mask_size=ms)
+                        mask_size=ms, factor=self.centermap_factor,
+                        rate=self.centermap_rate)
                 else:
                     masks[:n] = rasterize_polygons(
                         pointobbs[:n], (self.img_size, self.img_size), ms)
             sample["gt_masks"] = masks
+
+        if self.with_mask_weight or self.with_reverse_mask_weight:
+            from .centermap import pointobbs2centermap
+            ms = self.mask_size
+            weights = np.zeros((g, ms, ms), np.float32)
+            if n and pointobbs is not None:
+                kind = ("weight" if self.with_mask_weight else "reverse")
+                weights[:n] = pointobbs2centermap(
+                    np.asarray(pointobbs[:n]),
+                    (self.img_size, self.img_size), mask_size=ms,
+                    factor=self.centermap_factor, kind=kind)
+            sample["gt_mask_weights"] = weights
+
+        if self.with_semantic or self.with_heatmap_weight:
+            from .centermap import heatmap_weight, pseudo_segmentation
+            out_size = self.img_size // self.seg_scale
+            quads = (np.asarray(pointobbs[:n], np.float32)
+                     if (n and pointobbs is not None)
+                     else np.zeros((0, 8), np.float32))
+            if self.with_semantic:
+                sample["gt_semantic"] = pseudo_segmentation(
+                    quads, anns["labels"][:n],
+                    (self.img_size, self.img_size), out_size,
+                    valid_hw=(h, w))
+            if self.with_heatmap_weight:
+                sample["gt_seg_weights"] = heatmap_weight(
+                    quads, (self.img_size, self.img_size), out_size,
+                    factor=self.centermap_factor)
         return sample
 
 

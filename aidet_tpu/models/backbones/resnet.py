@@ -142,12 +142,30 @@ class ResNet(nn.Module):
     norm_eval: bool = True
     style: str = "pytorch"
     pretrained: str | None = None
+    # space-to-depth stem: the 7x7/s2 conv over 3 input channels packs
+    # <3% of the MXU's contraction lanes; re-expressing it as a 2x2
+    # space-to-depth + 4x4/s1 conv over 12 channels is numerically
+    # IDENTICAL (weights are a pure relayout, see stem_s2d_weights) and
+    # ~3x faster on TPU — the classic MLPerf-ResNet trick
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
         block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
         x = x.astype(self.dtype)
-        x = conv(self.base_channels, 7, 2, 1, "stem_conv", self.dtype)(x)
+        if self.stem_space_to_depth:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h // 2, w // 2, 4 * c)
+            # taps u,v span [-2, 1] around each output pixel →
+            # asymmetric (2, 1) padding
+            x = nn.Conv(self.base_channels, (4, 4), strides=(1, 1),
+                        padding=[(2, 1), (2, 1)], use_bias=False,
+                        dtype=self.dtype, name="stem_conv")(x)
+        else:
+            x = conv(self.base_channels, 7, 2, 1, "stem_conv",
+                     self.dtype)(x)
         x = FrozenBN(dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -186,3 +204,33 @@ class ResNet(nn.Module):
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+def stem_s2d_weights(w7):
+    """Relayout a [7, 7, C, F] HWIO stem kernel into the [4, 4, 4C, F]
+    kernel consumed by the space-to-depth stem.
+
+    Derivation: out[i] = Σ_a w[a]·x[2i + a - 3]; writing the input index
+    as 2(i + u) + p (p ∈ {0,1} the space-to-depth phase) gives
+    a = 2u + p + 3 with u ∈ [-2, 1] — a 4-tap kernel over 12 channels
+    whose (u, p) entries are a permutation of the original taps (the
+    (u=-2, p=0) slot maps to a = -1 and stays zero).
+    """
+    import numpy as np
+    w7 = np.asarray(w7)
+    c, f = w7.shape[2], w7.shape[3]
+    w4 = np.zeros((4, 4, 4 * c, f), w7.dtype)
+    for u in range(-2, 2):
+        for p in range(2):
+            a = 2 * u + p + 3
+            if not 0 <= a <= 6:
+                continue
+            for v in range(-2, 2):
+                for q in range(2):
+                    bcol = 2 * v + q + 3
+                    if not 0 <= bcol <= 6:
+                        continue
+                    w4[u + 2, v + 2,
+                       p * 2 * c + q * c:p * 2 * c + (q + 1) * c] = \
+                        w7[a, bcol]
+    return w4

@@ -1,8 +1,19 @@
-"""Cascade R-CNN (parity: mmdet/models/detectors/cascade_rcnn.py):
-three RoI-head stages with increasing IoU thresholds; each stage
-refines the boxes fed to the next; test-time class scores are averaged
-across stages.  HTC's interleaved mask path can ride the same refined
-rois (mask_head optional)."""
+"""Cascade R-CNN and Hybrid Task Cascade.
+
+Parity targets:
+  - CascadeRCNN (mmdet/models/detectors/cascade_rcnn.py): three RoI
+    stages with increasing IoU thresholds; each stage refines the boxes
+    fed to the next; test-time class scores are averaged across stages.
+  - HTC (mmdet/models/detectors/htc.py:1-517): per-stage mask heads
+    with mask information flow (htc_mask_head.py), interleaved
+    execution (mask branch trained on the boxes refined by the current
+    stage), optional semantic branch fused into box AND mask RoI
+    features, and stage-averaged mask ensembling at test time.
+
+TPU-native design: one jit program — assignment/sampling/RoIAlign are
+vmapped over the padded batch, stages unroll statically, the info-flow
+chain is a static Python loop over flax submodules.
+"""
 
 from __future__ import annotations
 
@@ -40,7 +51,13 @@ class CascadeRCNN(nn.Module):
     neck: Any = None
     rpn_head: Any = None
     bbox_head: Any = None          # template config reused per stage
-    mask_head: Any = None          # HTC-style mask branch (optional)
+    mask_head: Any = None          # mask branch (optional)
+    per_stage_masks: bool = False  # HTC: one mask head per stage
+    interleaved: bool = False      # HTC: mask trains on refined boxes
+    mask_info_flow: bool = False   # HTC: res-feat chain between stages
+    semantic_head: Any = None      # HTC semantic branch (optional)
+    semantic_fusion: Sequence[str] = ("bbox", "mask")
+    semantic_level: int = 1        # pyramid level of the fused feature
     num_stages: int = 3
     train_cfg: Any = None
     test_cfg: Any = None
@@ -63,8 +80,14 @@ class CascadeRCNN(nn.Module):
         head_cfg["reg_class_agnostic"] = True  # cascade convention
         self._heads = [build_head(dict(head_cfg))
                        for _ in range(self.num_stages)]
-        self._mask_head = (build_head(self.mask_head)
-                           if self.mask_head else None)
+        if self.mask_head:
+            n = self.num_stages if self.per_stage_masks else 1
+            self._mask_heads = [build_head(dict(self.mask_head))
+                                for _ in range(n)]
+        else:
+            self._mask_heads = None
+        self._semantic_head = (build_head(self.semantic_head)
+                               if self.semantic_head else None)
         anchors, sizes = build_pyramid_anchors(
             self.img_size, self.strides,
             scales=self.anchor_scales, ratios=self.anchor_ratios)
@@ -86,32 +109,109 @@ class CascadeRCNN(nn.Module):
             list(feats[:4]), rois_b, out_size=out_size,
             featmap_strides=tuple(self.strides[:4]))
 
+    def _fuse_semantic(self, crops, sem_feat, rois_b, out_size):
+        """RoI-crop the semantic feature and sum into roi feats
+        (htc.py:57-64, 88-95: element-wise sum)."""
+        from ...ops.roi_align import roi_align
+        stride = self.strides[self.semantic_level]
+
+        def per_image(sf, rois):
+            return roi_align(sf, rois, out_size, 1.0 / stride)
+        return crops + jax.vmap(per_image)(sem_feat, rois_b)
+
+    def _mask_forward(self, stage, mask_feats):
+        """Run the stage's mask head with mask information flow
+        (htc.py:97-106): previous heads are forwarded trunk-only to
+        build the res-feat chain."""
+        if not self.mask_info_flow or not self.per_stage_masks:
+            head = self._mask_heads[min(stage,
+                                        len(self._mask_heads) - 1)]
+            out = head(mask_feats)
+            return out[0] if isinstance(out, tuple) else out
+        last_feat = None
+        for j in range(stage):
+            last_feat = self._mask_heads[j](
+                mask_feats, last_feat, return_logits=False,
+                return_feat=True)
+        return self._mask_heads[stage](mask_feats, last_feat,
+                                       return_logits=True,
+                                       return_feat=False)
+
     def __call__(self, imgs):
         feats = self.extract_feat(imgs)
         rpn_out = self._rpn(feats)
         dummy = jnp.tile(jnp.asarray([[0., 0., 64., 64.]], self.dtype),
                          (4, 1))
+        sem_feat = None
+        if self._semantic_head is not None:
+            _, sem_feat = self._semantic_head(feats)
         crops = multilevel_roi_align_fused(
             [f[0] for f in feats[:4]], dummy,
             out_size=self._heads[0].roi_feat_size,
             featmap_strides=tuple(self.strides[:4]))
         outs = [h(crops) for h in self._heads]
-        if self._mask_head is not None:
+        if self._mask_heads is not None:
             mcrops = multilevel_roi_align_fused(
                 [f[0] for f in feats[:4]], dummy, out_size=14,
                 featmap_strides=tuple(self.strides[:4]))
-            outs.append(self._mask_head(mcrops))
+            if sem_feat is not None and "mask" in self.semantic_fusion:
+                mcrops = self._fuse_semantic(
+                    mcrops[None], sem_feat[:1], dummy[None], 14)[0]
+            for stage in range(self.num_stages
+                               if self.per_stage_masks else 1):
+                outs.append(self._mask_forward(stage, mcrops))
         return rpn_out, outs
 
+    # ------------------------------------------------------------------
+    def _sample_stage(self, cand, cand_valid, gt_boxes, gt_valid, thr,
+                      num_samples, pos_fraction, neg_pos_ub, keys):
+        def sample_one(cand_i, cv_i, gt_i, gv_i, k):
+            res = max_iou_assign(cand_i, gt_i, gv_i, None,
+                                 pos_iou_thr=thr, neg_iou_thr=thr,
+                                 min_pos_iou=thr, box_valid=cv_i)
+            return sample_fixed(k, res.gt_inds, num_samples,
+                                pos_fraction, neg_pos_ub)
+        sample = jax.vmap(sample_one)(cand, cand_valid, gt_boxes,
+                                      gt_valid, keys)
+        rois = jnp.take_along_axis(cand, sample.inds[..., None], axis=1)
+        return sample, rois
+
+    def _mask_loss_stage(self, stage, feats, sem_feat, sample, rois,
+                         gt_masks, gt_labels, p_max):
+        b = rois.shape[0]
+        pos_rois = rois[:, :p_max]
+        pos_sample = jax.tree.map(lambda x: x[:, :p_max], sample)
+        mcrops = self._roi_features(feats, pos_rois, 14)
+        if sem_feat is not None and "mask" in self.semantic_fusion:
+            mcrops = self._fuse_semantic(mcrops, sem_feat, pos_rois, 14)
+        flat = mcrops.reshape((b * p_max,) + mcrops.shape[2:])
+        mask_pred = self._mask_forward(stage, flat)
+        head = self._mask_heads[min(stage, len(self._mask_heads) - 1)]
+        msize = 14 * head.upsample_ratio
+        mscale = gt_masks.shape[-1] / self.img_size
+        mtgt = jax.vmap(lambda s, ro, m: mask_target(
+            s, ro * mscale, m, msize))(pos_sample, pos_rois, gt_masks)
+        mtgt = mtgt.reshape((b * p_max,) + mtgt.shape[2:])
+        pos_labels = jax.vmap(
+            lambda s, gl: jnp.where(
+                s.is_pos, gl[jnp.clip(s.gt_inds, 0, gl.shape[0] - 1)],
+                0))(pos_sample, gt_labels).reshape(-1)
+        is_pos = pos_sample.is_pos.reshape(-1)
+        navg = jnp.maximum(is_pos.sum(), 1.0) * msize ** 2
+        return mask_cross_entropy(
+            mask_pred, mtgt, pos_labels,
+            weight=is_pos[:, None, None].astype(jnp.float32),
+            avg_factor=navg)
+
     def loss(self, imgs, gt_boxes, gt_valid, gt_labels, img_shapes,
-             gt_masks=None):
+             gt_masks=None, gt_semantic=None):
         tc = self._tc
         feats = self.extract_feat(imgs)
         rpn_cls, rpn_reg = self._rpn(feats)
         cls_flat, reg_flat = flatten_level_outputs(
             rpn_cls, rpn_reg, self._rpn.cls_out_channels)
         key = self.make_rng("sampling")
-        keys = jax.random.split(key, self.num_stages + 1)
+        keys = jax.random.split(key, 2 * self.num_stages + 1)
 
         rpn_cfg = dict(tc["rpn"])
         losses = {}
@@ -136,8 +236,21 @@ class CascadeRCNN(nn.Module):
             self._anchors, self._level_sizes, img_shapes,
             **tc["rpn_proposal"])
 
+        sem_feat = None
+        if self._semantic_head is not None:
+            seg_logits, sem_feat = self._semantic_head(feats)
+            if gt_semantic is not None:
+                from ..heads.semantic_head import semantic_loss
+                sh = self._semantic_head
+                losses["loss_semantic_seg"] = semantic_loss(
+                    seg_logits, gt_semantic,
+                    loss_weight=getattr(sh, "loss_weight", 0.2),
+                    use_focal=getattr(sh, "use_focal", False))
+
         rc = tc["rcnn"]
         b = imgs.shape[0]
+        r = rc["num_samples"]
+        p_max = int(r * rc["pos_fraction"])
         cur_boxes = props
         cur_valid = prop_valid
         last_sample = None
@@ -149,21 +262,15 @@ class CascadeRCNN(nn.Module):
             cand = jnp.concatenate([gt_boxes, cur_boxes], axis=1)
             cand_valid = jnp.concatenate([gt_valid, cur_valid], axis=1)
             skeys = jax.random.split(keys[stage + 1], b)
-
-            def sample_one(cand_i, cv_i, gt_i, gv_i, k):
-                res = max_iou_assign(cand_i, gt_i, gv_i, None,
-                                     pos_iou_thr=thr, neg_iou_thr=thr,
-                                     min_pos_iou=thr, box_valid=cv_i)
-                return sample_fixed(k, res.gt_inds, rc["num_samples"],
-                                    rc["pos_fraction"], rc["neg_pos_ub"])
-
-            sample = jax.vmap(sample_one)(cand, cand_valid, gt_boxes,
-                                          gt_valid, skeys)
-            rois = jnp.take_along_axis(cand, sample.inds[..., None],
-                                       axis=1)
+            sample, rois = self._sample_stage(
+                cand, cand_valid, gt_boxes, gt_valid, thr, r,
+                rc["pos_fraction"], rc["neg_pos_ub"], skeys)
             crops = self._roi_features(feats, rois,
                                        self._heads[stage].roi_feat_size)
-            r = rc["num_samples"]
+            if sem_feat is not None and "bbox" in self.semantic_fusion:
+                crops = self._fuse_semantic(
+                    crops, sem_feat, rois,
+                    self._heads[stage].roi_feat_size)
             flat = crops.reshape((b * r,) + crops.shape[2:])
             cls_score, bbox_pred = self._heads[stage](flat)
 
@@ -181,40 +288,49 @@ class CascadeRCNN(nn.Module):
                 bbox_pred, flat_tgt.bbox_targets,
                 weight=flat_tgt.bbox_weights, avg_factor=pos_avg)
 
-            last_sample, last_rois = sample, rois
-            # refine rois for the next stage (cascade_rcnn.py refine);
-            # clip to each image's true shape, not the padded canvas
-            if stage < self.num_stages - 1:
+            # refined boxes (no grad), clipped to per-image shapes
+            refined = None
+            if stage < self.num_stages - 1 or (
+                    self._mask_heads is not None and self.interleaved):
                 pred_b = jax.lax.stop_gradient(
                     bbox_pred).reshape(b, r, -1)
-                cur_boxes = jax.vmap(
+                refined = jax.vmap(
                     lambda ro, pr, sh: delta2bbox(
                         ro, pr, (0., 0., 0., 0.), stds, max_shape=sh))(
                     rois, pred_b, img_shapes)
+
+            # HTC per-stage mask branch
+            if (self._mask_heads is not None and self.per_stage_masks
+                    and gt_masks is not None):
+                if self.interleaved:
+                    # interleaved execution (htc.py:275-293): re-assign
+                    # and re-sample on the refined boxes
+                    mcand = jnp.concatenate([gt_boxes, refined], axis=1)
+                    mcand_valid = jnp.concatenate(
+                        [gt_valid, sample.valid], axis=1)
+                    mkeys = jax.random.split(
+                        keys[self.num_stages + stage + 1], b)
+                    msample, mrois = self._sample_stage(
+                        mcand, mcand_valid, gt_boxes, gt_valid, thr, r,
+                        rc["pos_fraction"], rc["neg_pos_ub"], mkeys)
+                else:
+                    msample, mrois = sample, rois
+                losses[f"s{stage}.loss_mask"] = lw * self._mask_loss_stage(
+                    stage, feats, sem_feat, msample, mrois, gt_masks,
+                    gt_labels, p_max)
+
+            last_sample, last_rois = sample, rois
+            if stage < self.num_stages - 1:
+                cur_boxes = refined
                 cur_valid = sample.valid
 
-        if self._mask_head is not None and gt_masks is not None:
-            p_max = int(rc["num_samples"] * rc["pos_fraction"])
-            pos_rois = last_rois[:, :p_max]
-            pos_sample = jax.tree.map(lambda x: x[:, :p_max], last_sample)
-            mcrops = self._roi_features(feats, pos_rois, 14)
-            mask_pred = self._mask_head(
-                mcrops.reshape((b * p_max,) + mcrops.shape[2:]))
-            msize = 14 * self._mask_head.upsample_ratio
-            mscale = gt_masks.shape[-1] / self.img_size
-            mtgt = jax.vmap(lambda s, ro, m: mask_target(
-                s, ro * mscale, m, msize))(pos_sample, pos_rois, gt_masks)
-            mtgt = mtgt.reshape((b * p_max,) + mtgt.shape[2:])
-            pos_labels = jax.vmap(
-                lambda s, gl: jnp.where(
-                    s.is_pos, gl[jnp.clip(s.gt_inds, 0, gl.shape[0] - 1)],
-                    0))(pos_sample, gt_labels).reshape(-1)
-            is_pos = pos_sample.is_pos.reshape(-1)
-            navg = jnp.maximum(is_pos.sum(), 1.0) * msize ** 2
-            losses["loss_mask"] = mask_cross_entropy(
-                mask_pred, mtgt, pos_labels,
-                weight=is_pos[:, None, None].astype(jnp.float32),
-                avg_factor=navg)
+        # single-mask-head variant (Cascade-Mask R-CNN): mask on the
+        # last stage's sampling results
+        if (self._mask_heads is not None and not self.per_stage_masks
+                and gt_masks is not None):
+            losses["loss_mask"] = self._mask_loss_stage(
+                0, feats, sem_feat, last_sample, last_rois, gt_masks,
+                gt_labels, p_max)
         return losses
 
     def predict(self, imgs, img_shapes, scale_factors=None):
@@ -228,12 +344,20 @@ class CascadeRCNN(nn.Module):
             img_shapes, **ec["rpn"])
         b, p = props.shape[:2]
 
+        sem_feat = None
+        if self._semantic_head is not None:
+            _, sem_feat = self._semantic_head(feats)
+
         rois = props
         ms_scores = []
         bbox_pred = None
         for stage in range(self.num_stages):
             crops = self._roi_features(feats, rois,
                                        self._heads[stage].roi_feat_size)
+            if sem_feat is not None and "bbox" in self.semantic_fusion:
+                crops = self._fuse_semantic(
+                    crops, sem_feat, rois,
+                    self._heads[stage].roi_feat_size)
             flat = crops.reshape((b * p,) + crops.shape[2:])
             cls_score, bbox_pred = self._heads[stage](flat)
             ms_scores.append(jax.nn.softmax(
@@ -258,14 +382,56 @@ class CascadeRCNN(nn.Module):
                                   rc["nms_thr"], rc["max_per_img"],
                                   valid=valid_i)
         dets = jax.vmap(one)(final, scores, prop_valid)
-        boxes = dets.boxes
+        out = dict(boxes=dets.boxes, scores=dets.scores,
+                   labels=dets.labels, valid=dets.valid)
+
+        # mask branch on the detections: run every stage's mask head
+        # (with info flow) and average the sigmoided predictions
+        # (htc.py:359-383 merge_aug_masks == plain mean without TTA)
+        if self._mask_heads is not None:
+            det_rois = dets.boxes[..., :4]
+            k = det_rois.shape[1]
+            mcrops = self._roi_features(feats, det_rois, 14)
+            if sem_feat is not None and "mask" in self.semantic_fusion:
+                mcrops = self._fuse_semantic(mcrops, sem_feat,
+                                             det_rois, 14)
+            flat = mcrops.reshape((b * k,) + mcrops.shape[2:])
+            preds = []
+            n_mask = (self.num_stages if self.per_stage_masks else 1)
+            if self.mask_info_flow and self.per_stage_masks:
+                last_feat = None
+                for stage in range(n_mask):
+                    mp, last_feat = self._mask_heads[stage](
+                        flat, last_feat, return_logits=True,
+                        return_feat=True)
+                    preds.append(jax.nn.sigmoid(mp))
+            else:
+                for stage in range(n_mask):
+                    mp = self._mask_heads[stage](flat)
+                    if isinstance(mp, tuple):
+                        mp = mp[0]
+                    preds.append(jax.nn.sigmoid(mp))
+            merged = sum(preds) / len(preds)
+            c = merged.shape[-1]
+            lbl = jnp.clip(dets.labels.reshape(-1), 0, c - 1)
+            mask_sel = jnp.take_along_axis(
+                merged, lbl[:, None, None, None], axis=-1)[..., 0]
+            s = mask_sel.shape[-1]
+            out["masks"] = mask_sel.reshape(b, k, s, s)
+
         if scale_factors is not None:
-            boxes = boxes / scale_factors[:, None, None]
-        return dict(boxes=boxes, scores=dets.scores, labels=dets.labels,
-                    valid=dets.valid)
+            out["boxes"] = out["boxes"] / scale_factors[:, None, None]
+        return out
 
 
 @DETECTORS.register(name="HTC")
 def HTC(**kwargs):
-    kwargs.setdefault("mask_head", dict(type="FCNMaskHead"))
+    """Hybrid Task Cascade (htc.py:13-517): per-stage HTC mask heads,
+    interleaved execution, mask info flow; pass
+    ``semantic_head=dict(type='FusedSemanticHead', ...)`` for the
+    semantic branch."""
+    kwargs.setdefault("mask_head", dict(type="HTCMaskHead"))
+    kwargs.setdefault("per_stage_masks", True)
+    kwargs.setdefault("interleaved", True)
+    kwargs.setdefault("mask_info_flow", True)
     return CascadeRCNN(**kwargs)

@@ -37,6 +37,10 @@ class SingleStageDetector(nn.Module):
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     target_means: Sequence[float] = (0., 0., 0., 0.)
     target_stds: Sequence[float] = (1., 1., 1., 1.)
+    # 'standard' anchor-target loss, or 'free_anchor' bag likelihood
+    # (free_anchor_retina_head.py; configs/free_anchor/*)
+    loss_type: str = "standard"
+    free_anchor_cfg: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -76,6 +80,15 @@ class SingleStageDetector(nn.Module):
         cls_out, reg_out = self._head(feats)
         cls_flat, reg_flat = flatten_level_outputs(
             cls_out, reg_out, self._head.cls_out_channels)
+        if self.loss_type == "free_anchor":
+            from ..heads.free_anchor import free_anchor_loss
+            return free_anchor_loss(
+                cls_flat, reg_flat, self._anchors,
+                gt_boxes, gt_valid, gt_labels,
+                num_classes=self._head.cls_out_channels,
+                target_means=tuple(self.target_means),
+                target_stds=tuple(self.target_stds),
+                **(self.free_anchor_cfg or {}))
         key = self.make_rng("sampling")
         return anchor_head_loss(
             cls_flat, reg_flat, self._anchors,
@@ -109,4 +122,14 @@ class SingleStageDetector(nn.Module):
 
 @DETECTORS.register(name="RetinaNet")
 def RetinaNet(**kwargs):
+    return SingleStageDetector(**kwargs)
+
+
+@DETECTORS.register(name="FreeAnchorRetinaNet")
+def FreeAnchorRetinaNet(**kwargs):
+    """RetinaNet trained with the FreeAnchor bag likelihood
+    (free_anchor_retina_head.py; target_stds 0.1/0.2 per the
+    configs/free_anchor configs)."""
+    kwargs.setdefault("loss_type", "free_anchor")
+    kwargs.setdefault("target_stds", (0.1, 0.1, 0.2, 0.2))
     return SingleStageDetector(**kwargs)

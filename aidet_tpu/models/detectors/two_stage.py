@@ -432,8 +432,12 @@ class TwoStageDetector(nn.Module):
             seg_logits, sem_feat = self._semantic_head(feats)
             if gt_semantic is not None:
                 from ..heads.semantic_head import semantic_loss
+                sh = self._semantic_head
                 losses["loss_seg"] = semantic_loss(
-                    seg_logits, gt_semantic, gt_seg_weights)
+                    seg_logits, gt_semantic, gt_seg_weights,
+                    loss_weight=getattr(sh, "loss_weight", 0.2),
+                    use_focal=getattr(sh, "use_focal", False),
+                    focal_gamma=getattr(sh, "focal_gamma", 2.0))
 
         crops = self._roi_features(
             feats, rois, self._bbox_head.roi_feat_size)     # [B,R,s,s,C]
@@ -548,11 +552,14 @@ class TwoStageDetector(nn.Module):
                 if gt_mask_weights is not None:
                     # crop weights with the SAME geometry (mask-space
                     # rois) and size as the centermap target so each
-                    # weight pixel aligns with its target pixel
+                    # weight pixel aligns with its target pixel;
+                    # the reference enters them as w/255 + 1 ∈ [1, 2]
+                    # (centermap_head.py:21-22) — pipeline provides
+                    # w in [0, 1]
                     mw = jax.vmap(lambda s, ro, m: mask_target(
                         s, ro * mscale, m, msize))(
                             pos_sample, pos_rois, gt_mask_weights)
-                    mw = mw.reshape(mtgt.shape)
+                    mw = mw.reshape(mtgt.shape) + 1.0
                 else:
                     mw = None
                 losses["loss_mask"] = self._centermap_loss(

@@ -99,6 +99,11 @@ class WPSGAHead(nn.Module):
     num_classes: int = 16            # includes background at 0
     common_stride: int = 8
     with_attention: bool = True
+    # loss configuration (wpsga_head.py:20-28: loss_weight=1.0,
+    # use_focal_loss + gamma for the focal-ised CE)
+    loss_weight: float = 1.0
+    use_focal: bool = True
+    focal_gamma: float = 2.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,15 +132,19 @@ class WPSGAHead(nn.Module):
 
 
 def semantic_loss(seg_logits, gt_seg, weight_map=None, ignore_label=255,
-                  loss_weight=0.2):
-    """Pixel CE with optional per-pixel reweighting.
+                  loss_weight=0.2, use_focal=False, focal_gamma=2.0):
+    """Pixel CE with optional focal modulation and per-pixel reweighting.
 
     Parity: FusedSemanticHead.loss (CE, ignore 255, weight 0.2) and the
-    WPSGA weighted variant (wpsga_head.py loss with seg weight maps).
+    WPSGA weighted variant (wpsga_head.py:173-189): per-pixel CE with
+    ignore_index, optionally focal-ised as -(1-pt)^gamma * log(pt);
+    when a heatmap weight map is given the loss is
+    mean(ce * (w + 1) * loss_weight) — the reference's uint8 maps enter
+    as w/255 + 1, here the pipeline already provides w in [0, 1].
 
     Args:
       seg_logits: [B, H, W, C]; gt_seg: [B, Hs, Ws] int labels;
-      weight_map: optional [B, Hs, Ws].
+      weight_map: optional [B, Hs, Ws] in [0, 1].
     """
     h, w = seg_logits.shape[1:3]
     gt = jax.image.resize(gt_seg.astype(jnp.float32),
@@ -145,9 +154,15 @@ def semantic_loss(seg_logits, gt_seg, weight_map=None, ignore_label=255,
     gt_safe = jnp.where(valid, gt, 0)
     logp = jax.nn.log_softmax(seg_logits, -1)
     ce = -jnp.take_along_axis(logp, gt_safe[..., None], -1)[..., 0]
-    wmap = valid.astype(jnp.float32)
+    if use_focal:
+        pt = jnp.exp(-ce)
+        ce = (1.0 - pt) ** focal_gamma * ce
+    ce = jnp.where(valid, ce, 0.0)
     if weight_map is not None:
         wm = jax.image.resize(weight_map, (weight_map.shape[0], h, w),
                               method="bilinear")
-        wmap = wmap * wm
-    return loss_weight * (ce * wmap).sum() / jnp.maximum(wmap.sum(), 1.0)
+        # wpsga_head.py:184-186: weights = (w + 1) * loss_weight; mean
+        # over all pixels (ignored pixels contribute 0)
+        return (ce * (wm + 1.0) * loss_weight).mean()
+    return loss_weight * ce.sum() / jnp.maximum(
+        valid.astype(jnp.float32).sum(), 1.0)

@@ -129,7 +129,7 @@ def multilevel_roi_align(feats, rois, out_size=7, featmap_strides=(4, 8, 16, 32)
     num_levels = len(featmap_strides)
     lvls = map_roi_levels(rois, num_levels, finest_scale)
     if roi_scale_factor is not None:
-        rois = _rescale_rois(rois, roi_scale_factor)
+        rois = roi_rescale(rois, roi_scale_factor)
     out = None
     for i, stride in enumerate(featmap_strides):
         r = roi_align(feats[i], rois, out_size, 1.0 / stride,
@@ -165,7 +165,7 @@ def multilevel_roi_align_fused(feats, rois, out_size=7,
 
     lvls = map_roi_levels(rois, num_levels, finest_scale)
     if roi_scale_factor is not None:
-        rois = _rescale_rois(rois, roi_scale_factor)
+        rois = roi_rescale(rois, roi_scale_factor)
 
     stride = jnp.asarray(featmap_strides, jnp.float32)[lvls]   # [K]
     h_l = hs[lvls]
@@ -225,13 +225,15 @@ def multilevel_roi_align_fused(feats, rois, out_size=7,
 def batched_multilevel_roi_align(feats_b, rois_b, out_size=7,
                                  featmap_strides=(4, 8, 16, 32),
                                  sampling_ratio=2, finest_scale=56,
-                                 aligned=True):
+                                 aligned=True, roi_scale_factor=None):
     """Batched fused RoIAlign: the whole batch's pyramid flattens into
     ONE [B*T, C] table and all rois gather from it in a single 2-D
     gather — no vmap (XLA lowers batched gathers poorly on TPU).
 
     Args:
       feats_b: list of [B, H_l, W_l, C]; rois_b: [B, R, 4].
+      roi_scale_factor: optional center-preserving roi rescale before
+        pooling (SingleRoIExtractor.roi_rescale, single_level.py:75-87).
     Returns [B, R, out_size, out_size, C].
     """
     num_levels = len(featmap_strides)
@@ -248,6 +250,8 @@ def batched_multilevel_roi_align(feats_b, rois_b, out_size=7,
         [f.reshape(b, -1, c) for f in feats_b], axis=1).reshape(-1, c)
 
     rois = rois_b.reshape(b * r, 4)
+    if roi_scale_factor is not None:
+        rois = roi_rescale(rois, roi_scale_factor)
     img_off = jnp.repeat(
         jnp.arange(b, dtype=jnp.float32) * per_img, r)      # [B*R]
 
@@ -305,8 +309,10 @@ def batched_multilevel_roi_align(feats_b, rois_b, out_size=7,
     return out.reshape(b, r, out_size, out_size, c)
 
 
-def _rescale_rois(rois, scale_factor):
-    """Scale rois about their centers (single_level.py:75-87)."""
+def roi_rescale(rois, scale_factor):
+    """Scale rois about their centers, keeping the reference's
+    inclusive-pixel convention (SingleRoIExtractor.roi_rescale,
+    single_level.py:75-87)."""
     cx = (rois[:, 0] + rois[:, 2]) * 0.5
     cy = (rois[:, 1] + rois[:, 3]) * 0.5
     w = (rois[:, 2] - rois[:, 0] + 1.0) * scale_factor

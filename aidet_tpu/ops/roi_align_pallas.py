@@ -33,14 +33,36 @@ from .roi_align import batched_multilevel_roi_align, map_roi_levels
 
 WIN_Y = 32        # window height (≥ max roi span + 2 after level bump)
 WIN_X = 48        # window width: span + 2 + sublane alignment slack
+SMALL_Y = 16      # small-window class: covers spans ≤ SMALL_Y - 2
+SMALL_X = 32      # (x also loses ALIGN slack) — most DOTA rois fit,
+                  # cutting the per-roi DMA bytes 3x
 ALIGN = 16        # Mosaic needs DMA x-offsets aligned to the sublane tile
 BLOCK_BF16 = 16   # rois per grid step (window VMEM budget)
 BLOCK_F32 = 8     # f32 windows are twice the size
 
 
+import os
+_USE_SMALL = os.environ.get("AIDET_ROI_SMALL", "1") == "1"
+_USE_FAST = os.environ.get("AIDET_ROI_FAST", "1") == "1"
+
+
+def _win_sizes(feats):
+    """Static (win_y, win_x) per roi class: class 2l = small window on
+    level l, class 2l+1 = full window on level l."""
+    sizes = []
+    for f in feats:
+        if _USE_SMALL:
+            sizes.append((min(SMALL_Y, f.shape[1]),
+                          min(SMALL_X, f.shape[2])))
+        else:
+            sizes.append((min(WIN_Y, f.shape[1]), min(WIN_X, f.shape[2])))
+        sizes.append((min(WIN_Y, f.shape[1]), min(WIN_X, f.shape[2])))
+    return tuple(sizes)
+
+
 def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
              finest_scale, aligned):
-    """Host-side (XLA) prep: per-roi level/window/weights."""
+    """Host-side (XLA) prep: per-roi class/window/weights."""
     num_levels = len(featmap_strides)
     b, r = rois_b.shape[:2]
     k = b * r
@@ -54,6 +76,10 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
                          jnp.float32)
     win_xs = jnp.asarray([min(WIN_X, f.shape[2]) for f in feats],
                          jnp.float32)
+    small_ys = jnp.asarray([min(SMALL_Y, f.shape[1]) for f in feats],
+                           jnp.float32)
+    small_xs = jnp.asarray([min(SMALL_X, f.shape[2]) for f in feats],
+                           jnp.float32)
 
     lvls = map_roi_levels(rois, num_levels, finest_scale)
     # bump the level until the roi fits the window (extreme
@@ -68,6 +94,18 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
         fit_x = w_px * inv_l <= win_xs[lvls] - ALIGN - 1
         fits = (fit_y & fit_x) | (lvls >= num_levels - 1)
         lvls = jnp.where(fits, lvls, lvls + 1)
+
+    # small-window class: spans that fit a SMALL_Y x SMALL_X window
+    # take a 3x cheaper DMA (class 2l); the rest use the full window
+    # (class 2l+1)
+    inv_l = 1.0 / strides_arr[lvls]
+    small = ((h_px * inv_l <= small_ys[lvls] - 2)
+             & (w_px * inv_l <= small_xs[lvls] - ALIGN - 1))
+    if not _USE_SMALL:
+        small = jnp.zeros_like(small)
+    cls_ids = lvls * 2 + jnp.where(small, 0, 1)
+    cls_win_y = jnp.where(small, small_ys[lvls], win_ys[lvls])
+    cls_win_x = jnp.where(small, small_xs[lvls], win_xs[lvls])
 
     stride = strides_arr[lvls]
     h_l = hs[lvls]
@@ -89,12 +127,12 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
     xs = x1[:, None] + grid[None] * (roi_w / out_size)[:, None]
 
     # window origin: cover floor(min)..floor(max)+1, clamped so the
-    # level's (possibly smaller) window stays in-bounds; x additionally
-    # aligned down to the sublane tile for the DMA
+    # roi class's (possibly smaller) window stays in-bounds; x
+    # additionally aligned down to the sublane tile for the DMA
     wy = jnp.clip(jnp.floor(ys[:, 0]), 0,
-                  jnp.maximum(h_l - win_ys[lvls], 0)).astype(jnp.int32)
+                  jnp.maximum(h_l - cls_win_y, 0)).astype(jnp.int32)
     wx = jnp.clip(jnp.floor(xs[:, 0]), 0,
-                  jnp.maximum(w_l - win_xs[lvls], 0)).astype(jnp.int32)
+                  jnp.maximum(w_l - cls_win_x, 0)).astype(jnp.int32)
     wx = (wx // ALIGN) * ALIGN
 
     def weights_1d(coords, origin, dim, width):
@@ -116,37 +154,38 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
     wy_mat = weights_1d(ys, wy, h_l, WIN_Y)
     wx_mat = weights_1d(xs, wx, w_l, WIN_X)
     b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-    return (lvls.astype(jnp.int32), b_idx, wy, wx,
+    return (cls_ids.astype(jnp.int32), b_idx, wy, wx,
             wy_mat.astype(jnp.float32), wx_mat.astype(jnp.float32))
 
 
-def _kernel(num_levels, out_size, c, win_sizes, block, lvl_ref, b_ref,
-            wy_ref, wx_ref, *refs):
+def _kernel(num_levels, out_size, c, win_sizes, block, fast, cls_ref,
+            b_ref, wy_ref, wx_ref, *refs):
     feat_refs = refs[:num_levels]
     wy_mat_ref, wx_mat_ref, out_ref = refs[num_levels:num_levels + 3]
     win, sems = refs[num_levels + 3:]
 
     pid = pl.program_id(0)
+    num_cls = 2 * num_levels
 
-    def dma_for(step, slot, j, l):
+    def dma_for(step, slot, j, cl):
         i = step * block + j
-        wyl, wxl = win_sizes[l]   # static per level (≤ WIN_Y/WIN_X)
+        wyl, wxl = win_sizes[cl]  # static per class (≤ WIN_Y/WIN_X)
         # hint: x-origins were aligned down to ALIGN on the host, but
         # Mosaic cannot prove that for a runtime scalar on its own
         wxo = pl.multiple_of(wx_ref[i], ALIGN)
         return pltpu.make_async_copy(
-            feat_refs[l].at[b_ref[i], pl.ds(wy_ref[i], wyl),
-                            pl.ds(wxo, wxl), :],
+            feat_refs[cl // 2].at[b_ref[i], pl.ds(wy_ref[i], wyl),
+                                  pl.ds(wxo, wxl), :],
             win.at[slot, j, pl.ds(0, wyl), pl.ds(0, wxl), :],
             sems.at[slot, j])
 
     def start_block(step, slot):
         for j in range(block):
             i = step * block + j
-            for l in range(num_levels):
-                @pl.when(lvl_ref[i] == l)
-                def _(j=j, l=l):
-                    dma_for(step, slot, j, l).start()
+            for cl in range(num_cls):
+                @pl.when(cls_ref[i] == cl)
+                def _(j=j, cl=cl):
+                    dma_for(step, slot, j, cl).start()
 
     # scratch starts with arbitrary bits; regions beyond a small
     # level's window are weight-zeroed, but 0·NaN would poison —
@@ -155,34 +194,66 @@ def _kernel(num_levels, out_size, c, win_sizes, block, lvl_ref, b_ref,
     def _():
         win[...] = jnp.zeros_like(win)
 
-    # single-buffered: issue all of this block's DMAs up front so
-    # the per-roi computes below overlap the remaining copies
+    # single-buffered: issue all of this block's DMAs up front so the
+    # per-roi computes below overlap the remaining copies.  (A 2-slot
+    # cross-block pipeline was measured SLOWER on v5e: the wall is the
+    # scalar core issuing/waiting 1 DMA per roi at ~1.5us each, and
+    # halving the block to fit two slots in VMEM raised the per-roi
+    # scalar overhead.)
     start_block(pid, 0)
 
-    for j in range(block):
-        i = pid * block + j
-        for l in range(num_levels):
-            @pl.when(lvl_ref[i] == l)
-            def _(j=j, l=l):
-                dma_for(pid, 0, j, l).wait()
+    def run_block(slot):
+        for j in range(block):
+            i = pid * block + j
+            for cl in range(num_cls):
+                @pl.when(cls_ref[i] == cl)
+                def _(j=j, cl=cl):
+                    dma_for(pid, slot, j, cl).wait()
+        if fast:
+            _fast_block(slot)
+        else:
+            _exact_block(slot)
 
-        w = win[0, j].astype(jnp.float32)             # [WIN, WIN, C]
-        wxm = wx_mat_ref[j]                           # [P, WIN]
-        wym = wy_mat_ref[j]
-        # T[q, y, c] = Σ_x wxm[q, x] · w[y, x, c]
-        # HIGHEST precision: default MXU precision rounds f32 operands
-        # to bf16, which would put the kernel ~1e-2 off the exact-f32
-        # elementwise XLA formulation
-        t = jax.lax.dot_general(
-            wxm, w, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)       # [P, WIN, C]
-        # out[p, q, c] = Σ_y wym[p, y] · T[q, y, c]
-        o = jax.lax.dot_general(
-            wym, t, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)       # [P, P, C]
-        out_ref[j] = o.astype(out_ref.dtype)
+    def _fast_block(slot):
+        # bf16 fast path: per-roi separable dots in bf16 (features are
+        # bf16-quantized already; the interpolation weights lose ~1e-3
+        # relative).  NOTE the measured wall on v5e is the per-roi DMA
+        # issue/wait (~1.5us each on the scalar core), not these dots.
+        for j in range(block):
+            w = win[slot, j]                          # [WIN, WIN, C] bf16
+            wxm = wx_mat_ref[j].astype(jnp.bfloat16)  # [P, WIN]
+            wym = wy_mat_ref[j].astype(jnp.bfloat16)
+            t = jax.lax.dot_general(
+                wxm, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [P, WIN, C]
+            o = jax.lax.dot_general(
+                wym, t.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [P, P, C]
+            out_ref[j] = o.astype(out_ref.dtype)
+
+    def _exact_block(slot):
+        for j in range(block):
+            w = win[slot, j].astype(jnp.float32)      # [WIN, WIN, C]
+            wxm = wx_mat_ref[j]                       # [P, WIN]
+            wym = wy_mat_ref[j]
+            # HIGHEST precision: default MXU precision rounds f32
+            # operands to bf16, which would put the kernel ~1e-2 off
+            # the exact-f32 elementwise XLA formulation
+            prec = jax.lax.Precision.HIGHEST
+            # T[q, y, c] = Σ_x wxm[q, x] · w[y, x, c]
+            t = jax.lax.dot_general(
+                wxm, w, (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32)   # [P, WIN, C]
+            # out[p, q, c] = Σ_y wym[p, y] · T[q, y, c]
+            o = jax.lax.dot_general(
+                wym, t, (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32)   # [P, P, C]
+            out_ref[j] = o.astype(out_ref.dtype)
+
+    run_block(0)
 
 
 def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
@@ -195,28 +266,40 @@ def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
     block = (BLOCK_BF16 if jnp.dtype(feats[0].dtype).itemsize <= 2
              else BLOCK_F32)
     pad = (-k) % block
-    lvls, b_idx, wy, wx, wy_mat, wx_mat = _prepare(
+    cls_ids, b_idx, wy, wx, wy_mat, wx_mat = _prepare(
         feats, rois_b, out_size, featmap_strides, sampling_ratio,
         finest_scale, aligned)
     if pad:
-        lvls = jnp.pad(lvls, (0, pad))
+        cls_ids = jnp.pad(cls_ids, (0, pad))
         b_idx = jnp.pad(b_idx, (0, pad))
         wy = jnp.pad(wy, (0, pad))
         wx = jnp.pad(wx, (0, pad))
         wy_mat = jnp.pad(wy_mat, ((0, pad), (0, 0), (0, 0)))
         wx_mat = jnp.pad(wx_mat, ((0, pad), (0, 0), (0, 0)))
     kp = k + pad
+    nblocks = kp // block
+
+    # bf16 feature maps take the fast MXU path and stay bf16 on the
+    # way out (the heads consume them in bf16 anyway — a f32 round
+    # trip would double the crop traffic); f32 inputs keep the exact
+    # f32 path whose output matches the XLA formulation bit-for-bit
+    fast = (jnp.dtype(feats[0].dtype) == jnp.bfloat16) and _USE_FAST
+    out_dtype = feats[0].dtype if fast else jnp.result_type(
+        feats[0].dtype, jnp.float32)
+
+    mat_specs = [
+        pl.BlockSpec((block, out_size, WIN_Y),
+                     lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, out_size, WIN_X),
+                     lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,      # lvls, b_idx, wy, wx
-        grid=(kp // block,),
+        num_scalar_prefetch=4,      # cls_ids, b_idx, wy, wx
+        grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels
-        + [pl.BlockSpec((block, out_size, WIN_Y),
-                        lambda i, *_: (i, 0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec((block, out_size, WIN_X),
-                        lambda i, *_: (i, 0, 0),
-                        memory_space=pltpu.VMEM)],
+        + mat_specs,
         out_specs=pl.BlockSpec(
             (block, out_size, out_size, c),
             lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -225,19 +308,14 @@ def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
             pltpu.SemaphoreType.DMA((1, block)),
         ])
 
-    win_sizes = tuple((min(WIN_Y, f.shape[1]), min(WIN_X, f.shape[2]))
-                      for f in feats)
-    # output dtype must match the XLA formulation (which promotes to
-    # f32 via the f32 interpolation weights) so the custom_vjp
-    # cotangent dtypes line up
-    out_dtype = jnp.result_type(feats[0].dtype, jnp.float32)
+    win_sizes = _win_sizes(feats)
     out = pl.pallas_call(
         functools.partial(_kernel, num_levels, out_size, c, win_sizes,
-                          block),
+                          block, fast),
         out_shape=jax.ShapeDtypeStruct(
             (kp, out_size, out_size, c), out_dtype),
         grid_spec=grid_spec,
-    )(lvls, b_idx, wy, wx, *feats, wy_mat, wx_mat)
+    )(cls_ids, b_idx, wy, wx, *feats, wy_mat, wx_mat)
     return out[:k].reshape(b, r, out_size, out_size, c)
 
 
@@ -269,11 +347,11 @@ def _bwd(out_size, featmap_strides, sampling_ratio, finest_scale,
          aligned, res, g):
     feats, rois_b = res
     # gradient through the (differentiable-equivalent) XLA formulation
-    _, vjp = jax.vjp(
+    out_xla, vjp = jax.vjp(
         lambda f: batched_multilevel_roi_align(
             f, rois_b, out_size, featmap_strides, sampling_ratio,
             finest_scale, aligned), feats)
-    (dfeats,) = vjp(g)
+    (dfeats,) = vjp(g.astype(out_xla.dtype))
     return dfeats, jnp.zeros_like(rois_b)
 
 

@@ -47,21 +47,70 @@ def build_lr_schedule(base_lr: float = 0.02,
     return schedule
 
 
+def _param_kinds(params):
+    """Classify each param as 'norm' (affine of a norm layer: has a
+    'scale' sibling), 'bias' (conv/dense bias: has a 'kernel' sibling),
+    or 'weight'."""
+    flat = flax.traverse_util.flatten_dict(params)
+
+    def kind(path):
+        name = path[-1]
+        if name in ("scale", "bias") and path[:-1] + ("scale",) in flat:
+            return "norm"
+        if name == "bias":
+            return "bias"
+        if name.endswith("_scale") or name.endswith("_bias"):
+            return "norm"      # per-level SepBN affine pairs
+        return "weight"
+
+    return flax.traverse_util.unflatten_dict(
+        {p: kind(p) for p in flat})
+
+
 def build_optimizer(lr_schedule, momentum: float = 0.9,
                     weight_decay: float = 1e-4,
-                    grad_clip_norm: float | None = 35.0):
+                    grad_clip_norm: float | None = 35.0,
+                    paramwise_options: dict | None = None):
     """SGD + momentum + decoupled wd + global-norm clip.
 
     Parity: optimizer config (configs/dota/*: SGD lr=0.02 momentum=0.9
     weight_decay=1e-4) + grad_clip dict(max_norm=35, norm_type=2)
     handled by OptimizerHook.
+
+    paramwise_options (core/optimizer/builder.py:10-98): dict with
+    ``bias_lr_mult`` / ``bias_decay_mult`` (conv/fc biases, NOT norm
+    affines) and ``norm_decay_mult`` (norm scale+bias) — each group's
+    lr / weight decay is scaled by its multiplier.
     """
+    pw = paramwise_options or {}
+    bias_lr_mult = pw.get("bias_lr_mult", 1.0)
+    bias_decay_mult = pw.get("bias_decay_mult", 1.0)
+    norm_decay_mult = pw.get("norm_decay_mult", 1.0)
+
     tx = []
     if grad_clip_norm is not None:
         tx.append(optax.clip_by_global_norm(grad_clip_norm))
     if weight_decay:
-        tx.append(optax.add_decayed_weights(weight_decay))
+        if pw:
+            def wd_mask(kind_target):
+                return lambda params: jax.tree.map(
+                    lambda k: k == kind_target, _param_kinds(params))
+            mults = dict(weight=1.0, bias=bias_decay_mult,
+                         norm=norm_decay_mult)
+            for kind_name, mult in mults.items():
+                if mult:
+                    tx.append(optax.masked(
+                        optax.add_decayed_weights(weight_decay * mult),
+                        wd_mask(kind_name)))
+        else:
+            tx.append(optax.add_decayed_weights(weight_decay))
     tx.append(optax.sgd(lr_schedule, momentum=momentum))
+    if pw and bias_lr_mult != 1.0:
+        # scaling the post-sgd update by the multiplier == scaling lr
+        tx.append(optax.masked(
+            optax.scale(bias_lr_mult),
+            lambda params: jax.tree.map(lambda k: k == "bias",
+                                        _param_kinds(params))))
     return optax.chain(*tx)
 
 

@@ -45,11 +45,13 @@ def test_cascade_rcnn_train_and_infer():
     assert out["boxes"].shape == (1, 20, 4)
 
 
-def test_htc_with_mask_branch():
+def test_cascade_mask_rcnn_predict_masks():
+    """Single-mask-head cascade: mask loss on the last stage's samples
+    and a mask output at predict time."""
     cfg = _cascade_cfg(
         mask_head=dict(type="FCNMaskHead", num_convs=2, in_channels=64,
                        conv_out_channels=64, num_classes=16))
-    model = build_detector(dict(type="HTC", **cfg))
+    model = build_detector(dict(type="CascadeRCNN", **cfg))
     data = demo_inputs(batch=1, with_mask=True, mask_hw=IMG)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), data["imgs"])
     losses = jax.jit(functools.partial(model.apply, method="loss"))(
@@ -57,3 +59,53 @@ def test_htc_with_mask_branch():
     assert "loss_mask" in losses
     for k, v in losses.items():
         assert bool(jnp.isfinite(v)), k
+    out = jax.jit(functools.partial(model.apply, method="predict"))(
+        variables, data["imgs"], data["img_shapes"])
+    assert out["masks"].shape == (1, 20, 28, 28)
+
+
+def test_htc_full():
+    """Real HTC (htc.py:13-517): per-stage mask heads with info flow,
+    interleaved sampling, semantic branch fused into box+mask feats,
+    stage-averaged mask output at test time."""
+    import numpy as np
+    cfg = _cascade_cfg(
+        mask_head=dict(type="HTCMaskHead", num_convs=2, in_channels=64,
+                       conv_out_channels=64, num_classes=16),
+        semantic_head=dict(type="FusedSemanticHead", num_ins=5,
+                           fusion_level=1, in_channels=64,
+                           conv_out_channels=64, num_classes=16))
+    model = build_detector(dict(type="HTC", **cfg))
+    data = demo_inputs(batch=1, with_mask=True, mask_hw=IMG)
+    rng = np.random.RandomState(0)
+    data["gt_semantic"] = jnp.asarray(
+        rng.randint(0, 16, (1, IMG // 4, IMG // 4)).astype(np.int32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data["imgs"])
+    losses = jax.jit(functools.partial(model.apply, method="loss"))(
+        variables, rngs={"sampling": jax.random.PRNGKey(1)}, **data)
+    # one mask loss PER stage + the semantic loss
+    assert {"s0.loss_mask", "s1.loss_mask", "s2.loss_mask",
+            "loss_semantic_seg"} <= set(losses)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    out = jax.jit(functools.partial(model.apply, method="predict"))(
+        variables, data["imgs"], data["img_shapes"])
+    assert out["masks"].shape == (1, 20, 28, 28)
+    assert bool(jnp.all((out["masks"] >= 0) & (out["masks"] <= 1)))
+
+
+def test_htc_mask_info_flow_chain():
+    """The stage-i mask head must consume the res-feat chain of heads
+    0..i-1 (htc_mask_head.py): conv_res params exist for stages >= 1."""
+    cfg = _cascade_cfg(
+        mask_head=dict(type="HTCMaskHead", num_convs=2, in_channels=64,
+                       conv_out_channels=64, num_classes=16))
+    model = build_detector(dict(type="HTC", **cfg))
+    data = demo_inputs(batch=1, with_mask=True, mask_hw=IMG)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data["imgs"])
+    params = variables["params"]
+    mask_keys = [k for k in params if k.startswith("_mask_heads_")]
+    assert len(mask_keys) == 3
+    assert "conv_res" not in params["_mask_heads_0"]
+    assert "conv_res" in params["_mask_heads_1"]
+    assert "conv_res" in params["_mask_heads_2"]

@@ -42,12 +42,16 @@ def test_train_step_updates_params_and_decreases_loss():
         img_shapes=np.tile([[img, img]], (b, 1)).astype(np.float32)), mesh)
 
     step = make_train_step(model, opt, mesh=mesh)
-    p0 = jax.device_get(jax.tree.leaves(state.params)[0])
+    # frozen_stages=1 zeroes gradients for the stem/stage-1 leaves
+    # (reference parity), so look at the GLOBAL parameter movement
+    p0 = np.concatenate([np.ravel(jax.device_get(x))
+                         for x in jax.tree.leaves(state.params)])
     losses = []
     for i in range(3):
         state, metrics = step(state, batch, jax.random.PRNGKey(42))
         losses.append(float(metrics["loss"]))
-    p1 = jax.device_get(jax.tree.leaves(state.params)[0])
+    p1 = np.concatenate([np.ravel(jax.device_get(x))
+                         for x in jax.tree.leaves(state.params)])
     assert not np.allclose(p0, p1), "params did not update"
     assert int(state.step) == 3
     assert all(np.isfinite(l) for l in losses)

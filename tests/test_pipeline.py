@@ -131,3 +131,118 @@ def test_rasterize_polygons():
     assert m.shape == (1, 50, 50)
     assert m[0][:24, :24].mean() > 0.9
     assert m[0][30:, 30:].mean() < 0.05
+
+
+def test_centerness_rate_threshold():
+    t = generate_centerness_image(65, factor=4.0, rate=0.5)
+    assert t.max() == 1.0  # odd size: centre pixel hits exactly 1
+    # thresholded: everything below rate clamped to exactly 0
+    assert np.all((t == 0) | (t >= 0.5))
+    t0 = generate_centerness_image(64, factor=4.0, rate=0.0)
+    assert (t0 > 0).sum() > (t > 0).sum()
+
+
+def test_mask_weight_synthesis():
+    """with_mask_weight → (1-centerness) per-instance maps in [0,1]
+    (loading.py:119-128)."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (256, 256, 3), np.uint8)
+    pipe = TrainPipeline(img_size=128, max_gt=8, flip_ratio=0.0,
+                         with_rbox=True, with_mask=True,
+                         mask_type="centermap", with_mask_weight=True)
+    s = pipe(img, _fake_anns())
+    mw = s["gt_mask_weights"]
+    assert mw.shape == s["gt_masks"].shape
+    assert mw.min() >= 0.0 and mw.max() <= 1.0
+    # weight template is the inverse of centerness: at each instance's
+    # OBB centre the weight is low while the target is high
+    m = s["gt_masks"]
+    for i in range(3):
+        cy, cx = np.unravel_index(np.argmax(m[i]), m[i].shape)
+        assert m[i, cy, cx] > 0.9
+        assert mw[i, cy, cx] < 0.3
+    # reverse variant: centerness itself (high at centre)
+    pipe_r = TrainPipeline(img_size=128, max_gt=8, flip_ratio=0.0,
+                           with_rbox=True, with_mask=True,
+                           mask_type="centermap",
+                           with_reverse_mask_weight=True)
+    s_r = pipe_r(img, _fake_anns())
+    mr = s_r["gt_mask_weights"]
+    for i in range(3):
+        cy, cx = np.unravel_index(np.argmax(m[i]), m[i].shape)
+        assert mr[i, cy, cx] > 0.7
+
+
+def test_pseudo_segmentation_and_heatmap_weight():
+    """with_semantic paints class labels into quads; padding is 255;
+    with_heatmap_weight peaks near instance centres."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (200, 256, 3), np.uint8)  # non-square
+    anns = _fake_anns()
+    pipe = TrainPipeline(img_size=128, max_gt=8, flip_ratio=0.0,
+                         with_rbox=True, with_semantic=True,
+                         with_heatmap_weight=True)
+    s = pipe(img, anns)
+    seg = s["gt_semantic"]
+    hw = s["gt_seg_weights"]
+    assert seg.shape == (32, 32) and hw.shape == (32, 32)
+    # image is 200x256 → resized to 100x128 → seg rows beyond 100/4=25
+    # are ignore
+    assert np.all(seg[26:] == 255)
+    assert np.all(seg[:25, :32] != 255)
+    # painted labels are a subset of {0} ∪ gt labels
+    inside = seg[seg != 255]
+    assert set(np.unique(inside)) <= set([0] + list(anns["labels"]))
+    assert (inside > 0).sum() > 0
+    assert hw.min() >= 0.0 and hw.max() <= 1.0
+    assert hw.max() > 0.8  # peaks near centres
+
+
+def test_centermap_net_trains_from_pipeline_targets():
+    """End-to-end: the pipeline's synthesised CenterMap-Net targets
+    (masks, mask weights, pseudo-seg, heatmap weight) feed the model's
+    loss — the configuration of the best baseline rows
+    (configs/dota/centermap_net_tgrs_mask_weight_V4.py)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from aidet_tpu.models import build_detector
+
+    IMG = 128
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (256, 256, 3), np.uint8)
+    pipe = TrainPipeline(img_size=IMG, max_gt=8, flip_ratio=0.0,
+                         with_rbox=False, with_mask=True,
+                         mask_type="centermap", with_mask_weight=True,
+                         with_semantic=True, with_heatmap_weight=True)
+    batch = collate_batch([pipe(img, _fake_anns(seed=s))
+                           for s in range(2)])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = build_detector(dict(
+        type="CenterMapNet",
+        backbone=dict(type="ResNet", depth=18),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512),
+                  out_channels=64, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=64, feat_channels=64,
+                      num_anchors=3),
+        bbox_head=dict(type="SharedFCBBoxHead", num_classes=16,
+                       in_channels=64, fc_out_channels=128),
+        mask_head=dict(type="CenterMapHead", num_convs=2, in_channels=64,
+                       conv_out_channels=64, num_classes=16),
+        semantic_head=dict(type="WPSGAHead", in_channels=64, channels=64,
+                           num_classes=16),
+        semantic_fusion="add",
+        train_cfg=dict(
+            rpn_proposal=dict(nms_pre=200, nms_post=100, max_num=100),
+            rcnn=dict(num_samples=32)),
+        test_cfg=dict(rpn=dict(nms_pre=200, nms_post=100, max_num=100),
+                      rcnn=dict(max_per_img=10)),
+        img_size=IMG))
+    import jax.random as jr
+    variables = jax.jit(model.init)(jr.PRNGKey(0), batch["imgs"])
+    losses = jax.jit(functools.partial(model.apply, method="loss"))(
+        variables, rngs={"sampling": jr.PRNGKey(1)}, **batch)
+    assert "loss_seg" in losses and "loss_mask" in losses
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), (k, v)

@@ -98,3 +98,34 @@ def test_resnet18_matches_torch():
         ot = ot.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(oj), ot, atol=2e-3,
                                    rtol=1e-3)
+
+
+def test_stem_space_to_depth_equivalence():
+    """The s2d stem is a pure relayout of the 7x7/s2 stem: identical
+    outputs on the same weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aidet_tpu.models.backbones.resnet import ResNet, stem_s2d_weights
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    m1 = ResNet(depth=18, stem_space_to_depth=False)
+    m2 = ResNet(depth=18, stem_space_to_depth=True)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    # transplant every param; relayout the stem kernel
+    import flax
+    p1 = flax.traverse_util.flatten_dict(v1["params"])
+    p2 = flax.traverse_util.flatten_dict(v2["params"])
+    for k in p2:
+        if k == ("stem_conv", "kernel"):
+            p2[k] = jnp.asarray(stem_s2d_weights(p1[k]))
+        else:
+            p2[k] = p1[k]
+    v2 = dict(v2, params=flax.traverse_util.unflatten_dict(p2))
+    o1 = jax.jit(m1.apply)(v1, x)
+    o2 = jax.jit(m2.apply)(v2, x)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
