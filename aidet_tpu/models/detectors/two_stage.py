@@ -230,10 +230,21 @@ class TwoStageDetector(nn.Module):
                 tuple(self.ga_target_stds), self._ga_level_sizes,
                 loc_keep, (shape_flat, loc_flat))
 
-    def _roi_features(self, feats, rois_b, out_size):
+    def _roi_features(self, feats, rois_b, out_size, infer=False):
         """Batched multi-level RoIAlign: feats are [B, H, W, C] lists,
-        rois_b [B, R, 4] → [B, R, s, s, C]."""
+        rois_b [B, R, 4] → [B, R, s, s, C].
+
+        infer=True (predict paths, no grad needed) routes bf16
+        features to the band-cached Pallas kernel — few large
+        band DMAs instead of one DMA per roi (~2.4x faster)."""
         if self.roi_align_impl == "pallas":
+            import os
+            if (infer and feats[0].dtype == jnp.bfloat16
+                    and os.environ.get("AIDET_ROI_BAND", "1") == "1"):
+                from ...ops.roi_align_band import roi_align_band
+                return roi_align_band(
+                    list(feats[:4]), rois_b, out_size,
+                    tuple(self.strides[:4]))
             from ...ops.roi_align_pallas import roi_align_pallas
             return roi_align_pallas(
                 list(feats[:4]), rois_b, out_size,
@@ -606,7 +617,7 @@ class TwoStageDetector(nn.Module):
         feats = self.extract_feat(imgs)
         b, p = proposals.shape[:2]
         crops = self._roi_features(
-            feats, proposals, self._bbox_head.roi_feat_size)
+            feats, proposals, self._bbox_head.roi_feat_size, infer=True)
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((b * p,) + crops.shape[2:]))
         cls_score = cls_score.reshape(b, p, -1)
@@ -685,7 +696,7 @@ class TwoStageDetector(nn.Module):
         props_aug = jax.vmap(lambda f, s: remap(merged, f, s))(
             flips, scale_factors)                       # [A, K, 4]
         crops = self._roi_features(
-            feats, props_aug, self._bbox_head.roi_feat_size)
+            feats, props_aug, self._bbox_head.roi_feat_size, infer=True)
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((a * k,) + crops.shape[2:]))
         cls_score = cls_score.reshape(a, k, -1)
@@ -734,7 +745,7 @@ class TwoStageDetector(nn.Module):
         if self._semantic_head is not None:
             _, sem_feat = self._semantic_head(feats)
         crops = self._roi_features(
-            feats, props, self._bbox_head.roi_feat_size)
+            feats, props, self._bbox_head.roi_feat_size, infer=True)
         if sem_feat is not None:
             crops = self._fuse_semantic(
                 crops, sem_feat, props, self._bbox_head.roi_feat_size)
@@ -764,7 +775,7 @@ class TwoStageDetector(nn.Module):
             from ..heads.grid_head import grid_to_boxes
             det_rois = dets.boxes[..., :4]
             gcrops = self._roi_features(feats, det_rois,
-                                        self.grid_roi_size)
+                                        self.grid_roi_size, infer=True)
             k = det_rois.shape[1]
             heat = self._grid_head(
                 gcrops.reshape((b * k,) + gcrops.shape[2:]))
@@ -795,7 +806,7 @@ class TwoStageDetector(nn.Module):
             def gather_det_rois(det_i):
                 return det_i.boxes[:, :4]
             det_rois = jax.vmap(gather_det_rois)(dets)
-            mcrops = self._roi_features(feats, det_rois, 14)
+            mcrops = self._roi_features(feats, det_rois, 14, infer=True)
             if sem_feat is not None:
                 mcrops = self._fuse_semantic(mcrops, sem_feat,
                                              det_rois, 14)

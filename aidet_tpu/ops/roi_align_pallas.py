@@ -42,7 +42,7 @@ BLOCK_F32 = 8     # f32 windows are twice the size
 
 
 import os
-_USE_SMALL = os.environ.get("AIDET_ROI_SMALL", "1") == "1"
+_USE_SMALL = os.environ.get("AIDET_ROI_SMALL", "0") == "1"
 _USE_FAST = os.environ.get("AIDET_ROI_FAST", "1") == "1"
 
 
@@ -61,8 +61,12 @@ def _win_sizes(feats):
 
 
 def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
-             finest_scale, aligned):
-    """Host-side (XLA) prep: per-roi class/window/weights."""
+             finest_scale, aligned, use_small=None):
+    """Host-side (XLA) prep: per-roi class/window/weights.
+
+    use_small: override the small-window partition (the band kernel
+    needs uniform full-window origins so its 48-row bands always
+    cover the window)."""
     num_levels = len(featmap_strides)
     b, r = rois_b.shape[:2]
     k = b * r
@@ -101,7 +105,7 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
     inv_l = 1.0 / strides_arr[lvls]
     small = ((h_px * inv_l <= small_ys[lvls] - 2)
              & (w_px * inv_l <= small_xs[lvls] - ALIGN - 1))
-    if not _USE_SMALL:
+    if not (_USE_SMALL if use_small is None else use_small):
         small = jnp.zeros_like(small)
     cls_ids = lvls * 2 + jnp.where(small, 0, 1)
     cls_win_y = jnp.where(small, small_ys[lvls], win_ys[lvls])
@@ -158,14 +162,13 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
             wy_mat.astype(jnp.float32), wx_mat.astype(jnp.float32))
 
 
-def _kernel(num_levels, out_size, c, win_sizes, block, fast, cls_ref,
-            b_ref, wy_ref, wx_ref, *refs):
+def _kernel(num_levels, out_size, c, win_sizes, block, fast,
+            active_cls, cls_ref, b_ref, wy_ref, wx_ref, *refs):
     feat_refs = refs[:num_levels]
     wy_mat_ref, wx_mat_ref, out_ref = refs[num_levels:num_levels + 3]
     win, sems = refs[num_levels + 3:]
 
     pid = pl.program_id(0)
-    num_cls = 2 * num_levels
 
     def dma_for(step, slot, j, cl):
         i = step * block + j
@@ -182,8 +185,8 @@ def _kernel(num_levels, out_size, c, win_sizes, block, fast, cls_ref,
     def start_block(step, slot):
         for j in range(block):
             i = step * block + j
-            for cl in range(num_cls):
-                @pl.when(cls_ref[i] == cl)
+            for cl in active_cls:   # scalar branches are the kernel's
+                @pl.when(cls_ref[i] == cl)  # wall — only live classes
                 def _(j=j, cl=cl):
                     dma_for(step, slot, j, cl).start()
 
@@ -205,7 +208,7 @@ def _kernel(num_levels, out_size, c, win_sizes, block, fast, cls_ref,
     def run_block(slot):
         for j in range(block):
             i = pid * block + j
-            for cl in range(num_cls):
+            for cl in active_cls:
                 @pl.when(cls_ref[i] == cl)
                 def _(j=j, cl=cl):
                     dma_for(pid, slot, j, cl).wait()
@@ -309,9 +312,12 @@ def _roi_align_pallas_fwd(feats, rois_b, out_size, featmap_strides,
         ])
 
     win_sizes = _win_sizes(feats)
+    active_cls = tuple(
+        cl for cl in range(2 * num_levels)
+        if (cl % 2 == 1) or _USE_SMALL)
     out = pl.pallas_call(
         functools.partial(_kernel, num_levels, out_size, c, win_sizes,
-                          block, fast),
+                          block, fast, active_cls),
         out_shape=jax.ShapeDtypeStruct(
             (kp, out_size, out_size, c), out_dtype),
         grid_spec=grid_spec,
