@@ -6,3 +6,5 @@ from .focal_loss import sigmoid_focal_loss
 from .deform_conv import deform_conv2d, DeformConv2d
 from .carafe import carafe, CARAFEPack
 from .grid_sample import affine_grid, grid_sample, masked_conv2d
+from .rroi_align import (rroi_align_fused, batched_rroi_align,
+                         map_rroi_levels)
