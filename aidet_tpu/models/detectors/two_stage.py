@@ -497,8 +497,9 @@ class TwoStageDetector(nn.Module):
                 jnp.clip(jit_rois[..., 3], 0, hw[..., 0] - 1)], -1)
             gcrops = self._roi_features(feats, jit_rois,
                                         self.grid_roi_size)
-            heat = self._grid_head(
-                gcrops.reshape((b * p_max,) + gcrops.shape[2:]))
+            heat, heat_unfused = self._grid_head(
+                gcrops.reshape((b * p_max,) + gcrops.shape[2:]),
+                return_unfused=True)
             hm_size = 2 * self.grid_roi_size
             gtgt = jax.vmap(lambda s, ro, g: grid_target(
                 s, ro, g, heatmap_size=hm_size,
@@ -506,12 +507,17 @@ class TwoStageDetector(nn.Module):
                     pos_sample, jit_rois, gt_boxes)
             gtgt = gtgt.reshape(heat.shape)
             is_pos_g = pos_sample.is_pos.reshape(-1).astype(jnp.float32)
-            bce = (jnp.maximum(heat, 0) - heat * gtgt
-                   + jnp.log1p(jnp.exp(-jnp.abs(heat))))
             navg = jnp.maximum(is_pos_g.sum(), 1.0) \
                 * hm_size ** 2 * self._grid_head.grid_points
+
+            def grid_bce(hm):
+                bce = (jnp.maximum(hm, 0) - hm * gtgt
+                       + jnp.log1p(jnp.exp(-jnp.abs(hm))))
+                return (bce * is_pos_g[:, None, None, None]).sum() / navg
+            # fused + unfused heatmaps both supervised
+            # (grid_head.py:186-208 loss)
             losses["loss_grid"] = 15.0 * (
-                bce * is_pos_g[:, None, None, None]).sum() / navg
+                grid_bce(heat) + grid_bce(heat_unfused)) / 2
 
         # rotated branch (rbbox_cnn.py:192-209)
         if self._rbbox_head is not None:

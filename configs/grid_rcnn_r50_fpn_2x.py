@@ -10,7 +10,7 @@ model = dict(
     bbox_head=dict(type="SharedFCBBoxHead", num_classes=81,
                    in_channels=256),
     grid_head=dict(type="GridHead", grid_points=9, num_convs=8,
-                   in_channels=256, conv_out_channels=576),
+                   in_channels=256, point_feat_channels=64),
     grid_roi_size=14,
     img_size=1024,
 )
