@@ -2,9 +2,9 @@
 instaboost.py — a thin wrapper over the external `instaboostfast`
 package in the reference).
 
-`instaboostfast` is not vendored in this image; this wrapper degrades
-to identity with a one-time warning, keeping configs that request it
-loadable (matching how the reference fails only at call time)."""
+`instaboostfast` is not vendored in this image; constructing the
+wrapper without it raises immediately with a clear message unless
+`allow_identity=True` is passed explicitly (no silent degradation)."""
 
 from __future__ import annotations
 
@@ -17,7 +17,7 @@ class InstaBoost:
     def __init__(self, action_candidate=("normal", "horizontal", "skip"),
                  action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
                  theta=(-1, 1), color_prob=0.5, hflag=False,
-                 aug_ratio=0.5):
+                 aug_ratio=0.5, allow_identity=False):
         self.aug_ratio = aug_ratio
         try:
             import instaboostfast as instaboost
@@ -25,7 +25,13 @@ class InstaBoost:
                 action_candidate, action_prob, scale, dx, dy, theta,
                 color_prob, hflag)
             self._instaboost = instaboost
-        except ImportError:
+        except ImportError as e:
+            if not allow_identity:
+                raise ImportError(
+                    "InstaBoost requires the `instaboostfast` package; "
+                    "install it, remove InstaBoost from the pipeline, "
+                    "or pass allow_identity=True to opt into a no-op "
+                    "stage") from e
             self._cfg = None
             self._instaboost = None
 
@@ -34,7 +40,8 @@ class InstaBoost:
         if self._instaboost is None:
             if not _WARNED:
                 warnings.warn("instaboostfast is not installed; "
-                              "InstaBoost acts as identity")
+                              "InstaBoost acts as identity "
+                              "(allow_identity=True)")
                 _WARNED = True
             return img, anns
         import numpy as np

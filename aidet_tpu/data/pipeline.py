@@ -61,7 +61,7 @@ class TrainPipeline:
                  centermap_rate: float = 0.5,
                  centermap_factor: float = 4.0,
                  seg_scale: int = 4,
-                 scale_range=None,
+                 scale_range=None, albu=None,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD, seed: int = 0):
         """mask_type: 'binary' (Mask R-CNN / MaskOBB) or 'centermap'
         (soft centerness pseudo-masks, loading.py:160-178).
@@ -102,11 +102,24 @@ class TrainPipeline:
         self.centermap_factor = centermap_factor
         self.seg_scale = seg_scale
         self.mean, self.std = mean, std
+        # optional albumentations stage (transforms.py:865 Albu);
+        # raises at construction if the package is missing
+        self.albu = None
+        if albu:
+            from .albu import AlbuTransform
+            self.albu = AlbuTransform(albu)
         self.rng = np.random.RandomState(seed)
 
     def __call__(self, img, anns):
         """img: HWC uint8 BGR (cv2 convention); anns: dict from dataset."""
         size = self.img_size
+        if self.albu is not None:
+            img, bb, lab, pp = self.albu(
+                img, anns["bboxes"], anns["labels"],
+                anns.get("pointobbs"))
+            anns = dict(anns, bboxes=bb, labels=lab)
+            if pp is not None:
+                anns["pointobbs"] = pp
         if self.scale_range is not None:
             lo, hi = self.scale_range
             target = int(self.rng.uniform(lo, min(hi, size)))

@@ -48,8 +48,15 @@ def test_convws_and_scale():
     np.testing.assert_allclose(np.asarray(sc.apply(vv, x)), 2.0)
 
 
-def test_instaboost_identity_without_package():
-    ib = InstaBoost()
+def test_instaboost_loud_without_package():
+    import importlib.util
+    import pytest
+    if importlib.util.find_spec("instaboostfast") is not None:
+        pytest.skip("instaboostfast installed")
+    with pytest.raises(ImportError, match="instaboostfast"):
+        InstaBoost()
+    # explicit opt-in keeps configs loadable as a no-op
+    ib = InstaBoost(allow_identity=True)
     img = np.zeros((8, 8, 3), np.uint8)
     anns = [dict(bbox=[1, 1, 3, 3])]
     img2, anns2 = ib(img, anns)

@@ -105,3 +105,16 @@ def test_concat_and_repeat_wrappers():
     r = RepeatDataset(_FakeDS(2, "z"), 3)
     assert len(r) == 6
     assert r.img_path(5) == "z1.png"
+
+
+def test_albu_missing_dependency_is_loud():
+    """AlbuTransform must fail at construction when albumentations is
+    absent — never degrade to identity (round-1 InstaBoost lesson)."""
+    import importlib.util
+    import pytest
+    from aidet_tpu.data.pipeline import TrainPipeline
+    if importlib.util.find_spec("albumentations") is not None:
+        pytest.skip("albumentations installed; loud-failure N/A")
+    with pytest.raises(ImportError, match="albumentations"):
+        TrainPipeline(img_size=64,
+                      albu=[dict(type="RandomBrightnessContrast")])
