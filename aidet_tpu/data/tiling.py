@@ -88,17 +88,28 @@ def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
     labels = np.concatenate(all_labels).astype(np.int32)
 
     keep_mask = np.zeros(len(boxes), bool)
+    neg = np.float32(-1e30)
     for c in range(num_classes):
         sel = np.nonzero((labels == c) & (scores > score_thr))[0]
         if len(sel) == 0:
             continue
         thr = iou_thr[c] if isinstance(iou_thr, dict) else iou_thr
-        cb = jnp.asarray(boxes[sel])
-        cs = jnp.asarray(scores[sel])
+        # pad to the next power of two: per-(scene, class) candidate
+        # counts vary freely, and an unpadded call would recompile the
+        # NMS kernel for every distinct count (~5s each on CPU);
+        # bucketing caps recompiles at log2(max) shapes
+        n = len(sel)
+        nb = 1 << (n - 1).bit_length()
+        cb = np.zeros((nb, boxes.shape[1]), np.float32)
+        cb[:n] = boxes[sel]
+        cs = np.full(nb, neg, np.float32)
+        cs[:n] = scores[sel]
         if box_type == "quad":
-            k = np.asarray(rnms(cb, cs, float(thr)))
+            k = np.asarray(rnms(jnp.asarray(cb), jnp.asarray(cs),
+                                float(thr)))[:n]
         else:
-            k = np.asarray(hbb_nms(cb, cs, float(thr)))
+            k = np.asarray(hbb_nms(jnp.asarray(cb), jnp.asarray(cs),
+                                   float(thr)))[:n]
         keep_mask[sel[k]] = True
 
     keep = np.nonzero(keep_mask)[0]

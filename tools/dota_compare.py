@@ -30,8 +30,11 @@ def draw_dets(img, r, cls_id, score_thr, to_quad):
          & (np.asarray(r["labels"]) == cls_id))
     color = DOTA_COLORS[cls_id % len(DOTA_COLORS)]
     if "rboxes" in r and to_quad is not None:
+        # decode the full fixed-size det array THEN mask — keeps the
+        # jitted codec at one shape across images (no per-image
+        # recompiles)
         quads = np.asarray(to_quad(jnp.asarray(
-            np.asarray(r["rboxes"])[v])))
+            np.asarray(r["rboxes"]))))[v]
         for q, sc in zip(quads, np.asarray(r["scores"])[v]):
             pts = np.round(q.reshape(4, 2)).astype(np.int32)
             cv2.polylines(vis, [pts], True, color, 2)
@@ -77,6 +80,9 @@ def main():
     p.add_argument("--max-images", type=int, default=20)
     p.add_argument("--out-dir", default="work_dirs/compare")
     args = p.parse_args()
+
+    from aidet_tpu.utils.platform import force_cpu
+    force_cpu()   # numpy post-processing; never needs the accelerator
 
     import cv2
     import numpy as np

@@ -25,6 +25,8 @@ def main():
     args = p.parse_args()
 
     import numpy as np
+    from aidet_tpu.utils.platform import force_cpu
+    force_cpu()   # numpy-dominated post-processing; never needs the accelerator
 
     from aidet_tpu.core.eval.class_names import DOTA_CLASSES
     from aidet_tpu.core.eval.dota import dota_eval, export_dota_results

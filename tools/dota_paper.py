@@ -32,6 +32,8 @@ def main():
     args = p.parse_args()
 
     import cv2
+    from aidet_tpu.utils.platform import force_cpu
+    force_cpu()   # numpy-dominated post-processing; never needs the accelerator
     import jax.numpy as jnp
     import numpy as np
 
@@ -63,8 +65,9 @@ def main():
         vis = img.copy()
         overlay = img.copy()
         if "rboxes" in r:
+            # decode full fixed-size array then mask (single jit shape)
             quads = np.asarray(to_quad(jnp.asarray(
-                np.asarray(r["rboxes"])[v])))
+                np.asarray(r["rboxes"]))))[v]
             polys = [np.round(q.reshape(4, 2)).astype(np.int32)
                      for q in quads]
         else:

@@ -58,6 +58,12 @@ def pointobb_to_xywh(p):
     return [x1, y1, float(xs.max()) - x1, float(ys.max()) - y1]
 
 
+def pointobb_to_xyxy(p):
+    xs, ys = p[0::2], p[1::2]
+    return [round(float(xs.min()), 2), round(float(ys.min()), 2),
+            round(float(xs.max()), 2), round(float(ys.max()), 2)]
+
+
 def patch_annotations(polys, names, diff, x0, y0, patch, scale,
                       class_to_id):
     """Objects whose centre falls inside the patch, shifted to patch
@@ -151,6 +157,29 @@ def prepare_split(data_root: str, out_dir: str, split: str = "trainval",
     out_json = os.path.join(out_dir, f"{split}.json")
     with open(out_json, "w") as f:
         json.dump(coco, f)
+
+    # scene-level GT jsons for tools/dota_eval.py ({scene: {boxes,
+    # labels}}; obb boxes are the raw 8-pt polys, hbb their envelope)
+    scene_obb, scene_hbb = {}, {}
+    for scene in scenes:
+        txt = os.path.join(ann_dir, scene + ".txt")
+        if not os.path.exists(txt):
+            continue
+        polys, names_s, diff = parse_devkit_txt(txt)
+        keep = [i for i, n in enumerate(names_s) if n in class_to_id]
+        labels = [class_to_id[names_s[i]] - 1 for i in keep]
+        scene_obb[scene] = dict(
+            boxes=[[round(float(v), 2) for v in polys[i]]
+                   for i in keep], labels=labels)
+        scene_hbb[scene] = dict(
+            boxes=[pointobb_to_xyxy(polys[i]) for i in keep],
+            labels=labels)
+    for task, gt in (("obb", scene_obb), ("hbb", scene_hbb)):
+        with open(os.path.join(out_dir,
+                               f"{split}_scene_gt_{task}.json"),
+                  "w") as f:
+            json.dump(gt, f)
+
     print(f"{split}: {len(images)} patches, {len(annotations)} "
           f"annotations → {out_json}")
     return out_json
