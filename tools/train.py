@@ -19,6 +19,10 @@ def parse_args():
     p.add_argument("--total-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="linearly scale lr with device count "
+                        "(parity: reference tools/train.py:81-83, "
+                        "8-device base)")
     return p.parse_args()
 
 
@@ -53,6 +57,14 @@ def main():
     if args.n_devices:
         run_cfg["n_devices"] = args.n_devices
     run_cfg.setdefault("total_epochs", cfg.get("total_epochs", 12))
+    if args.autoscale_lr:
+        import jax
+        n_dev = args.n_devices or jax.device_count()
+        opt = dict(run_cfg["optimizer"])
+        opt["lr"] = opt.get("lr", 0.02) * n_dev / 8.0
+        run_cfg["optimizer"] = opt
+        logger.info("autoscale-lr: %d devices -> lr %.5f", n_dev,
+                    opt["lr"])
     pipe_cfg = dict(cfg.get("train_pipeline", {}))
     pipe_cfg.setdefault("img_size", getattr(model, "img_size", 1024))
     run_cfg["pipeline"] = TrainPipeline(**pipe_cfg)
