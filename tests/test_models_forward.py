@@ -211,7 +211,7 @@ def test_rpn_detector():
 def test_grid_rcnn_train_and_infer():
     cfg = _small_cfg(
         grid_head=dict(type="GridHead", num_convs=2, in_channels=64,
-                       conv_out_channels=64))
+                       point_feat_channels=8, norm_groups=9))
     model = build_detector(dict(type="GridRCNN", **cfg))
     data = demo_inputs(batch=1)
     variables, losses = _init_and_loss(model, data)
