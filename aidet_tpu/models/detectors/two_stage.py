@@ -98,7 +98,10 @@ class TwoStageDetector(nn.Module):
     ga_target_stds: Sequence[float] = (0.07, 0.07, 0.14, 0.14)
     ga_loc_filter_thr: float = 0.01
     mask_loss_type: str = "bce"   # 'bce' (Mask R-CNN) | 'centermap'
-    roi_align_impl: str = "xla"   # 'xla' | 'pallas' (TPU window kernel)
+    # 'auto' resolves at trace time: Pallas kernels on TPU backends,
+    # the XLA gather formulation elsewhere (CPU tests, interpret-less
+    # platforms)
+    roi_align_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -237,7 +240,11 @@ class TwoStageDetector(nn.Module):
         infer=True (predict paths, no grad needed) routes bf16
         features to the band-cached Pallas kernel — few large
         band DMAs instead of one DMA per roi (~2.4x faster)."""
-        if self.roi_align_impl == "pallas":
+        impl = self.roi_align_impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend()
+                    in ("tpu", "axon") else "xla")
+        if impl == "pallas":
             import os
             if (infer and feats[0].dtype == jnp.bfloat16
                     and os.environ.get("AIDET_ROI_BAND", "1") == "1"):
