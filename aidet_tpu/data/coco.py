@@ -159,4 +159,48 @@ class CocoDataset:
             mAP=float(np.mean(list(aps.values()))),
             AP50=aps.get(0.5, 0.0),
             AP75=aps.get(0.75, 0.0))
+        if results and "masks" in results[0]:
+            result.update(self.evaluate_segm(results,
+                                             iou_thrs=iou_thrs))
         return result
+
+    def evaluate_segm(self, results, iou_thrs=None, mask_thr=0.5):
+        """Instance-mask mAP (parity: metric='segm' via COCOeval,
+        coco.py:291-392) — box-bounded mask IoU, no pycocotools.
+
+        results[i]['masks'] are [K, S, S] roi-crop probabilities
+        aligned with boxes (the predict mask path's output)."""
+        from ..core.eval.segm import (eval_segm, mask_record,
+                                      polygon_record)
+        num_classes = len(self.CLASSES)
+        preds, gts = [], []
+        for i, r in enumerate(results):
+            anns = self.parse_anns(i)
+            hw = (anns.get("height", 10 ** 9),
+                  anns.get("width", 10 ** 9))
+            valid = np.asarray(r["valid"]).astype(bool)
+            boxes = np.asarray(r["boxes"])[valid]
+            crops = np.asarray(r["masks"])[valid]
+            preds.append(dict(
+                records=[mask_record(b, m, hw, mask_thr)
+                         for b, m in zip(boxes, crops)],
+                scores=np.asarray(r["scores"])[valid],
+                labels=np.asarray(r["labels"])[valid]))
+            g_records, g_labels = [], []
+            for seg, lab in zip(anns.get("segmentations", []),
+                                anns["labels"]):
+                if not seg:
+                    continue
+                poly = seg[0] if isinstance(seg, (list, tuple)) \
+                    and seg and isinstance(seg[0], (list, tuple)) \
+                    else seg
+                g_records.append(polygon_record(poly, hw))
+                g_labels.append(int(lab) - 1)        # 1-based → 0-based
+            gts.append(dict(records=g_records,
+                            labels=np.asarray(g_labels, np.int64)))
+        mean, by_thr = eval_segm(preds, gts, num_classes,
+                                 iou_thrs=iou_thrs)
+        return dict(
+            segm_mAP=mean,
+            segm_AP50=by_thr.get(0.5, (0.0,))[0],
+            segm_AP75=by_thr.get(0.75, (0.0,))[0])
