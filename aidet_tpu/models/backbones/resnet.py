@@ -90,6 +90,9 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
+    # deformable 3x3 (configs/dcn family): dict like
+    # dict(modulated=False) — None keeps the plain conv
+    dcn: dict | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -98,8 +101,16 @@ class Bottleneck(nn.Module):
         out = FrozenBN(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         # pytorch style: spatial stride on the 3x3 (resnet.py Bottleneck)
-        out = conv(self.planes, 3, self.stride, self.dilation,
-                   "conv2", self.dtype)(out)
+        if self.dcn is not None:
+            from ...ops.deform_conv import DeformConv2d
+            out = DeformConv2d(
+                features=self.planes, kernel_size=3,
+                stride=self.stride, padding=self.dilation,
+                dilation=self.dilation, dtype=self.dtype,
+                name="conv2", **dict(self.dcn))(out)
+        else:
+            out = conv(self.planes, 3, self.stride, self.dilation,
+                       "conv2", self.dtype)(out)
         out = FrozenBN(dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * 4, 1, 1, 1, "conv3", self.dtype)(out)
@@ -134,6 +145,10 @@ class ResNet(nn.Module):
     # configs/empirical_attention): dict of GeneralizedAttention kwargs
     gen_attention: dict | None = None
     gen_attention_stages: Sequence[bool] = (False, False, False, False)
+    # deformable conv per stage (reference resnet.py dcn/stage_with_dcn,
+    # configs/dcn family): dcn=dict(modulated=True) selects DCNv2
+    dcn: dict | None = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
     # frozen_stages=k stops gradients to the stem and the first k
     # stages (reference ResNet._freeze_stages sets requires_grad=False
@@ -185,12 +200,16 @@ class ResNet(nn.Module):
                 # projection shortcut only when geometry/channels change
                 # (torch resnet convention)
                 ds = b == 0 and (stride != 1 or cur_c != out_c)
+                extra = {}
+                if (self.dcn is not None and self.stage_with_dcn[i]
+                        and block_cls is Bottleneck):
+                    extra["dcn"] = self.dcn
                 x = block_cls(
                     planes=planes, stride=stride,
                     dilation=self.dilations[i],
                     downsample=ds,
                     dtype=self.dtype,
-                    name=f"layer{i + 1}_block{b}")(x)
+                    name=f"layer{i + 1}_block{b}", **extra)(x)
                 cur_c = out_c
                 if (self.gen_attention is not None
                         and self.gen_attention_stages[i]):

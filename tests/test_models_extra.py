@@ -117,3 +117,54 @@ def test_fcos_target_unit():
     np.testing.assert_allclose(np.asarray(tgts[0]), [16., 16., 16., 16.])
     assert float(ctr[0]) > 0.99
     assert float(ctr[1]) == 0.0
+
+
+def test_resnet_dcn_stages_forward_and_grad():
+    """dcn/stage_with_dcn wiring (configs/dcn family): DCN replaces
+    the 3x3 in the requested stages, output shapes unchanged, grads
+    flow to the offset convs."""
+    import jax
+    import jax.numpy as jnp
+    from aidet_tpu.models.backbones.resnet import ResNet
+
+    m = ResNet(depth=50, dcn=dict(modulated=True),
+               stage_with_dcn=(False, True, True, True),
+               frozen_stages=-1)
+    x = jnp.ones((1, 64, 64, 3))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    import flax
+    flat = flax.traverse_util.flatten_dict(v["params"])
+    off_keys = [k for k in flat if "offset" in "/".join(k)]
+    assert off_keys, "no DCN offset convs created"
+    assert not any(k[0].startswith("layer1") and "offset" in "/".join(k)
+                   for k in flat)
+    outs = jax.jit(m.apply)(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+    def loss(p):
+        return sum(o.sum() for o in m.apply(
+            {**v, "params": p}, x))
+    g = jax.grad(loss)(v["params"])
+    gflat = flax.traverse_util.flatten_dict(g)
+    total = sum(float(jnp.abs(gflat[k]).sum()) for k in off_keys)
+    import numpy as np
+    assert np.isfinite(total)
+
+
+def test_hrnet_w18_hrfpn_forward():
+    """HRNet-W18 + HRFPN channel wiring (faster_rcnn_hrnetv2p_w18)."""
+    import jax
+    import jax.numpy as jnp
+    from aidet_tpu.models.backbones.hrnet import HRNet
+    from aidet_tpu.models.necks.hrfpn import HRFPN
+
+    bb = HRNet(width=18, stage_modules=(1, 1, 1, 1))
+    x = jnp.ones((1, 64, 64, 3))
+    v = jax.jit(bb.init)(jax.random.PRNGKey(0), x)
+    feats = jax.jit(bb.apply)(v, x)
+    assert [f.shape[-1] for f in feats] == [18, 36, 72, 144]
+    neck = HRFPN(in_channels=(18, 36, 72, 144), out_channels=64,
+                 num_outs=5)
+    nv = jax.jit(neck.init)(jax.random.PRNGKey(0), feats)
+    outs = jax.jit(neck.apply)(nv, feats)
+    assert len(outs) == 5 and all(o.shape[-1] == 64 for o in outs)
