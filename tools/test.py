@@ -21,6 +21,9 @@ def parse_args():
     p.add_argument("--submit-dir", default=None,
                    help="write DOTA submission txt files here")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="shard each batch over an n-device data mesh "
+                        "(default: all visible devices when >1)")
     return p.parse_args()
 
 
@@ -37,8 +40,18 @@ def main():
     logger = get_root_logger()
     model, variables, cfg = init_detector(args.config, args.checkpoint)
     dataset = build_dataset(cfg.data["test"])
-    results, names = run_inference(model, variables, dataset,
-                                   batch_size=args.batch_size)
+    import jax
+    mesh = None
+    n_dev = args.n_devices or jax.device_count()
+    if n_dev > 1:
+        from aidet_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(n_dev)
+        logger.info("sharding eval batches over %d devices", n_dev)
+    # one shard per host process (parity: mmdet/apis/test.py:31-73)
+    results, names = run_inference(
+        model, variables, dataset, batch_size=args.batch_size,
+        mesh=mesh, num_shards=jax.process_count(),
+        shard_id=jax.process_index())
     logger.info("ran inference on %d images", len(results))
     if args.out:
         with open(args.out, "wb") as f:
