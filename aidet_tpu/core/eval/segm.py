@@ -26,17 +26,27 @@ def mask_record(box, crop, img_hw, thr: float = 0.5):
     return (x1, y1, x1 + bw, y1 + bh), m, int(m.sum())
 
 
-def polygon_record(poly, img_hw):
-    """Flat [2k] polygon → box-bounded binary record."""
+def polygon_record(seg, img_hw):
+    """Polygon segmentation → box-bounded binary record.
+
+    Accepts a flat [2k] polygon OR a COCO multi-part segmentation
+    (list of flat polygons, e.g. occluded instances); all parts are
+    rasterised into one record."""
     import cv2
     h, w = img_hw
-    pts = np.asarray(poly, np.float32).reshape(-1, 2)
-    x1 = int(np.clip(np.floor(pts[:, 0].min()), 0, w - 1))
-    y1 = int(np.clip(np.floor(pts[:, 1].min()), 0, h - 1))
-    x2 = int(np.clip(np.ceil(pts[:, 0].max()) + 1, x1 + 1, w))
-    y2 = int(np.clip(np.ceil(pts[:, 1].max()) + 1, y1 + 1, h))
+    if (isinstance(seg, (list, tuple)) and seg
+            and isinstance(seg[0], (list, tuple, np.ndarray))):
+        parts = [np.asarray(p, np.float32).reshape(-1, 2) for p in seg]
+    else:
+        parts = [np.asarray(seg, np.float32).reshape(-1, 2)]
+    allpts = np.concatenate(parts)
+    x1 = int(np.clip(np.floor(allpts[:, 0].min()), 0, w - 1))
+    y1 = int(np.clip(np.floor(allpts[:, 1].min()), 0, h - 1))
+    x2 = int(np.clip(np.ceil(allpts[:, 0].max()) + 1, x1 + 1, w))
+    y2 = int(np.clip(np.ceil(allpts[:, 1].max()) + 1, y1 + 1, h))
     m = np.zeros((y2 - y1, x2 - x1), np.uint8)
-    cv2.fillPoly(m, [np.round(pts - [x1, y1]).astype(np.int32)], 1)
+    for pts in parts:
+        cv2.fillPoly(m, [np.round(pts - [x1, y1]).astype(np.int32)], 1)
     m = m.astype(bool)
     return (x1, y1, x2, y2), m, int(m.sum())
 
@@ -57,8 +67,11 @@ def mask_iou_matrix(preds, gts):
     return out
 
 
-def _tpfp_masks(scores, ious, num_gt, iou_thr):
-    """Greedy matching (mean_ap.tpfp_default semantics, mask IoUs)."""
+def _tpfp_masks(scores, ious, num_gt, iou_thr, ious_ignore=None):
+    """Greedy matching (mean_ap.tpfp_default semantics, mask IoUs).
+
+    Detections whose best remaining match is an ignore/crowd mask are
+    neither TP nor FP (COCOeval crowd handling)."""
     k = len(scores)
     tp = np.zeros(k, np.float32)
     fp = np.zeros(k, np.float32)
@@ -68,6 +81,9 @@ def _tpfp_masks(scores, ious, num_gt, iou_thr):
         if j >= 0 and ious[i, j] >= iou_thr and not covered[j]:
             covered[j] = True
             tp[i] = 1
+        elif (ious_ignore is not None and ious_ignore.shape[1]
+                and ious_ignore[i].max() >= iou_thr):
+            pass                      # matched a crowd region: skip
         else:
             fp[i] = 1
     return tp, fp
@@ -97,6 +113,7 @@ def eval_segm(pred_per_img, gt_per_img, num_classes: int,
         by_cls = {}
         p_labels = np.asarray(pred["labels"])
         g_labels = np.asarray(gt["labels"])
+        ig_records = gt.get("ignore_records", [])
         for c in range(num_classes):
             pi = np.nonzero(p_labels == c)[0]
             gi = np.nonzero(g_labels == c)[0]
@@ -104,7 +121,10 @@ def eval_segm(pred_per_img, gt_per_img, num_classes: int,
                 continue
             ious = mask_iou_matrix([pred["records"][i] for i in pi],
                                    [gt["records"][j] for j in gi])
-            by_cls[c] = (np.asarray(pred["scores"])[pi], ious, len(gi))
+            ious_ig = mask_iou_matrix(
+                [pred["records"][i] for i in pi], ig_records)
+            by_cls[c] = (np.asarray(pred["scores"])[pi], ious,
+                         len(gi), ious_ig)
         per_img_cls.append(by_cls)
 
     results = {}
@@ -116,11 +136,11 @@ def eval_segm(pred_per_img, gt_per_img, num_classes: int,
             for by_cls in per_img_cls:
                 if c not in by_cls:
                     continue
-                scores, ious, n_gt = by_cls[c]
+                scores, ious, n_gt, ious_ig = by_cls[c]
                 num_gts += n_gt
                 if len(scores) == 0:
                     continue
-                tp, fp = _tpfp_masks(scores, ious, n_gt, thr)
+                tp, fp = _tpfp_masks(scores, ious, n_gt, thr, ious_ig)
                 all_tp.append(tp)
                 all_fp.append(fp)
                 all_s.append(scores)

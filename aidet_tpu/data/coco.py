@@ -67,6 +67,7 @@ class CocoDataset:
         info = self.img_infos[idx]
         anns = self.anns_by_img.get(info["id"], [])
         boxes, labels, segs, ignores, pointobbs = [], [], [], [], []
+        segs_ignore = []
         for a in anns:
             x, y, w, h = a["bbox"]
             if a.get("area", w * h) <= 0 or w < 1 or h < 1:
@@ -74,6 +75,8 @@ class CocoDataset:
             box = [x, y, x + w - 1, y + h - 1]
             if a.get("iscrowd", 0) or a.get("ignore", 0):
                 ignores.append(box)
+                if a.get("segmentation"):
+                    segs_ignore.append(a["segmentation"])
                 continue
             boxes.append(box)
             labels.append(self.cat2label[a["category_id"]])
@@ -90,6 +93,7 @@ class CocoDataset:
                     else np.zeros((0,), np.int32)),
             bboxes_ignore=arr(ignores, 4),
             segmentations=segs,
+            segmentations_ignore=segs_ignore,
             width=info.get("width"), height=info.get("height"),
             filename=info["file_name"])
         if pointobbs:
@@ -176,8 +180,8 @@ class CocoDataset:
         preds, gts = [], []
         for i, r in enumerate(results):
             anns = self.parse_anns(i)
-            hw = (anns.get("height", 10 ** 9),
-                  anns.get("width", 10 ** 9))
+            hw = (anns.get("height") or 10 ** 9,
+                  anns.get("width") or 10 ** 9)
             valid = np.asarray(r["valid"]).astype(bool)
             boxes = np.asarray(r["boxes"])[valid]
             crops = np.asarray(r["masks"])[valid]
@@ -191,13 +195,17 @@ class CocoDataset:
                                 anns["labels"]):
                 if not seg:
                     continue
-                poly = seg[0] if isinstance(seg, (list, tuple)) \
-                    and seg and isinstance(seg[0], (list, tuple)) \
-                    else seg
-                g_records.append(polygon_record(poly, hw))
+                g_records.append(polygon_record(seg, hw))
                 g_labels.append(int(lab) - 1)        # 1-based → 0-based
+            # crowd regions: class-agnostic ignore masks — detections
+            # matched to them are neither TP nor FP (COCOeval crowd
+            # semantics)
+            ig_records = [polygon_record(seg, hw)
+                          for seg in anns.get("segmentations_ignore",
+                                              []) if seg]
             gts.append(dict(records=g_records,
-                            labels=np.asarray(g_labels, np.int64)))
+                            labels=np.asarray(g_labels, np.int64),
+                            ignore_records=ig_records))
         mean, by_thr = eval_segm(preds, gts, num_classes,
                                  iou_thrs=iou_thrs)
         return dict(

@@ -167,6 +167,11 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        if self.dcn is not None and block_cls is not Bottleneck:
+            raise ValueError(
+                "dcn is only supported for bottleneck depths (>=50); "
+                f"depth={self.depth} uses BasicBlock (reference "
+                "resnet.py asserts dcn is None there)")
         x = x.astype(self.dtype)
         if self.stem_space_to_depth:
             b, h, w, c = x.shape
@@ -201,8 +206,7 @@ class ResNet(nn.Module):
                 # (torch resnet convention)
                 ds = b == 0 and (stride != 1 or cur_c != out_c)
                 extra = {}
-                if (self.dcn is not None and self.stage_with_dcn[i]
-                        and block_cls is Bottleneck):
+                if self.dcn is not None and self.stage_with_dcn[i]:
                     extra["dcn"] = self.dcn
                 x = block_cls(
                     planes=planes, stride=stride,

@@ -521,10 +521,11 @@ class TwoStageDetector(nn.Module):
                 bce = (jnp.maximum(hm, 0) - hm * gtgt
                        + jnp.log1p(jnp.exp(-jnp.abs(hm))))
                 return (bce * is_pos_g[:, None, None, None]).sum() / navg
-            # fused + unfused heatmaps both supervised
-            # (grid_head.py:186-208 loss)
+            # fused + unfused heatmaps both supervised and SUMMED
+            # (grid_head.py:186-208: loss_fused + loss_unfused, each
+            # at loss_weight 15)
             losses["loss_grid"] = 15.0 * (
-                grid_bce(heat) + grid_bce(heat_unfused)) / 2
+                grid_bce(heat) + grid_bce(heat_unfused))
 
         # rotated branch (rbbox_cnn.py:192-209)
         if self._rbbox_head is not None:

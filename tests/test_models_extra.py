@@ -168,3 +168,16 @@ def test_hrnet_w18_hrfpn_forward():
     nv = jax.jit(neck.init)(jax.random.PRNGKey(0), feats)
     outs = jax.jit(neck.apply)(nv, feats)
     assert len(outs) == 5 and all(o.shape[-1] == 64 for o in outs)
+
+
+def test_resnet_basicblock_dcn_is_loud():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from aidet_tpu.models.backbones.resnet import ResNet
+
+    m = ResNet(depth=18, dcn=dict(modulated=True),
+               stage_with_dcn=(False, True, True, True))
+    with pytest.raises(ValueError, match="dcn"):
+        jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0),
+                                      jnp.ones((1, 32, 32, 3))))

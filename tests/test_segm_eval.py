@@ -82,3 +82,30 @@ def test_coco_dataset_segm_metric(tmp_path):
     out = ds.evaluate(results)
     assert out["segm_AP50"] > 0.99
     assert out["AP50"] > 0.99
+
+
+def test_polygon_record_multi_part():
+    """COCO multi-part segmentations rasterise ALL parts."""
+    hw = (100, 100)
+    multi = [ _rect_poly(0, 0, 20, 20), _rect_poly(40, 0, 60, 20) ]
+    rec = polygon_record(multi, hw)
+    (x1, y1, x2, y2), m, area = rec
+    assert (x1, y1, x2, y2) == (0, 0, 61, 21)
+    np.testing.assert_allclose(area, 2 * 21 * 21, rtol=0.05)
+
+
+def test_eval_segm_crowd_ignore():
+    """A detection matching only a crowd region is neither TP nor FP."""
+    hw = (64, 64)
+    gts = [dict(records=[polygon_record(_rect_poly(4, 4, 20, 20), hw)],
+                labels=np.asarray([0]),
+                ignore_records=[polygon_record(
+                    _rect_poly(30, 30, 60, 60), hw)])]
+    preds = [dict(
+        records=[polygon_record(_rect_poly(4, 4, 20, 20), hw),
+                 polygon_record(_rect_poly(30, 30, 60, 60), hw)],
+        scores=np.asarray([0.9, 0.8], np.float32),
+        labels=np.asarray([0, 0]))]
+    mean, by_thr = eval_segm(preds, gts, num_classes=1, iou_thrs=[0.5])
+    # the crowd-matched det must not drag precision below 1
+    assert by_thr[0.5][0] > 0.99

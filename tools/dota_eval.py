@@ -55,7 +55,9 @@ def main():
     with open(args.gt_json) as f:
         raw = json.load(f)
     gts = {k: dict(boxes=np.asarray(v["boxes"], np.float32),
-                   labels=np.asarray(v["labels"], np.int32))
+                   labels=np.asarray(v["labels"], np.int32),
+                   **({"difficult": np.asarray(v["difficult"], bool)}
+                      if "difficult" in v else {}))
            for k, v in raw.items()}
     mean_ap, aps = dota_eval(merged, gts, DOTA_CLASSES, task=args.task)
     for k, v in sorted(aps.items()):

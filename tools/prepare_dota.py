@@ -168,12 +168,16 @@ def prepare_split(data_root: str, out_dir: str, split: str = "trainval",
         polys, names_s, diff = parse_devkit_txt(txt)
         keep = [i for i, n in enumerate(names_s) if n in class_to_id]
         labels = [class_to_id[names_s[i]] - 1 for i in keep]
+        # difficult flags ride along: dota_eval routes difficult GT to
+        # the ignore set (devkit protocol, core/eval/dota.py)
+        difficult = [bool(diff[i]) for i in keep]
         scene_obb[scene] = dict(
             boxes=[[round(float(v), 2) for v in polys[i]]
-                   for i in keep], labels=labels)
+                   for i in keep], labels=labels,
+            difficult=difficult)
         scene_hbb[scene] = dict(
             boxes=[pointobb_to_xyxy(polys[i]) for i in keep],
-            labels=labels)
+            labels=labels, difficult=difficult)
     for task, gt in (("obb", scene_obb), ("hbb", scene_hbb)):
         with open(os.path.join(out_dir,
                                f"{split}_scene_gt_{task}.json"),

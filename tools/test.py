@@ -42,11 +42,17 @@ def main():
     dataset = build_dataset(cfg.data["test"])
     import jax
     mesh = None
-    n_dev = args.n_devices or jax.device_count()
+    # LOCAL devices only: each process feeds host-local numpy batches
+    # of its own dataset shard, so the mesh must not span other hosts'
+    # non-addressable chips (cross-host splitting is the
+    # num_shards/shard_id axis below)
+    n_dev = args.n_devices or jax.local_device_count()
     if n_dev > 1:
-        from aidet_tpu.parallel.mesh import create_mesh
-        mesh = create_mesh(n_dev)
-        logger.info("sharding eval batches over %d devices", n_dev)
+        from jax.sharding import Mesh
+        import numpy as np
+        mesh = Mesh(np.asarray(jax.local_devices()[:n_dev]), ("data",))
+        logger.info("sharding eval batches over %d local devices",
+                    n_dev)
     # one shard per host process (parity: mmdet/apis/test.py:31-73)
     results, names = run_inference(
         model, variables, dataset, batch_size=args.batch_size,
