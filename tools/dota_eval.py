@@ -43,9 +43,18 @@ def main():
     import jax.numpy as jnp
     to_quad = RBBOX_CODECS[args.encode][3]
     dets = []
+    from aidet_tpu.core.masks import masks_to_thetaobbs
+    from aidet_tpu.core.rboxes import thetaobb2pointobb
     for r in results:
         if args.task == "obb" and "rboxes" in r:
             boxes = np.asarray(to_quad(jnp.asarray(r["rboxes"])))
+        elif args.task == "obb" and "masks" in r:
+            # mask-family results: OBB via min-area-rect (segm2txt
+            # parity, datasets/dota.py:160-196)
+            tobbs = masks_to_thetaobbs(
+                np.asarray(r["masks"]), np.asarray(r["boxes"]),
+                np.asarray(r["valid"]))
+            boxes = np.asarray(thetaobb2pointobb(jnp.asarray(tobbs)))
         else:
             boxes = np.asarray(r["boxes"])
         dets.append(dict(boxes=boxes, scores=r["scores"],

@@ -70,10 +70,20 @@ def main():
         to_quad = RBBOX_CODECS[encode][3]
         for task in args.eval:
             dets = []
+            from aidet_tpu.core.masks import masks_to_thetaobbs
+            from aidet_tpu.core.rboxes import thetaobb2pointobb
             for r in results:
                 if task == "obb" and "rboxes" in r:
-                    quads = np.asarray(to_quad(jnp.asarray(r["rboxes"])))
-                    boxes = quads
+                    boxes = np.asarray(to_quad(jnp.asarray(r["rboxes"])))
+                elif task == "obb" and "masks" in r:
+                    # MaskOBB/CenterMapOBB: OBB from the predicted
+                    # centermap/mask via min-area-rect
+                    # (datasets/dota.py:160-196 segm2txt parity)
+                    tobbs = masks_to_thetaobbs(
+                        np.asarray(r["masks"]), np.asarray(r["boxes"]),
+                        np.asarray(r["valid"]))
+                    boxes = np.asarray(thetaobb2pointobb(
+                        jnp.asarray(tobbs)))
                 else:
                     boxes = np.asarray(r["boxes"])
                 dets.append(dict(boxes=boxes, scores=r["scores"],
