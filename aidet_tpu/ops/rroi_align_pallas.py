@@ -114,11 +114,23 @@ def _prepare_rot(feats, rrois, out_size, featmap_strides,
         ys_c, xs_c, wy0_c, wx0_c, hl_c, wl_c = args
         wy_s = one_d(ys_c, wy0_c, hl_c, WIN_Y)     # [C, n², WY]
         wx_s = one_d(xs_c, wx0_c, wl_c, WIN_X)     # [C, n², WX]
-        m = jnp.einsum("ksy,ksx->ksyx", wy_s, wx_s)
-        m = m.reshape(-1, out_size, s, out_size, s, WIN_Y * WIN_X)
-        m = m.transpose(0, 1, 3, 2, 4, 5).reshape(
-            -1, out_size * out_size, s * s, WIN_Y * WIN_X)
-        return m.mean(2).astype(jnp.bfloat16)      # [C, P², WY·WX]
+        kc = wy_s.shape[0]
+        # regroup samples (a, b) = ((p, suby), (q, subx)) → batch
+        # (bin), contraction (sub): the s²-subsample mean becomes ONE
+        # batched matmul and the [*, n², WY·WX] outer-product
+        # intermediate is never materialised
+        def regroup(w, width):
+            w = w.reshape(kc, out_size, s, out_size, s, width)
+            return w.transpose(0, 1, 3, 2, 4, 5).reshape(
+                kc * out_size * out_size, s * s, width)
+        wy_b = regroup(wy_s, WIN_Y)                # [(C·P²), s², WY]
+        wx_b = regroup(wx_s, WIN_X)
+        m = jax.lax.dot_general(
+            wy_b, wx_b, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # [(C·P²), WY, WX]
+        m = m / (s * s)
+        return m.reshape(kc, out_size * out_size,
+                         WIN_Y * WIN_X).astype(jnp.bfloat16)
 
     pad_k = (-k) % CHUNK
     def padk(a):
