@@ -247,3 +247,47 @@ def test_pointobb_flip_extreme_sort_variant():
     best = np.asarray(pointobb_flip(pts, shape))[0]
     assert (set(map(tuple, got.reshape(4, 2)))
             == set(map(tuple, best.reshape(4, 2))))
+
+
+def test_full_chain_roundtrip_iou_all_encodings():
+    """pointobb → encode (delta vs perfect hbb proposal) → decode →
+    quad: rotated IoU vs the original must stay high for every
+    encoding — the codec-side floor on achievable OBB precision
+    (ROUND2_NOTES hobb diagnosis)."""
+    import jax
+    from aidet_tpu.core import rboxes as R
+    from aidet_tpu.core.riou import quad_overlaps
+
+    rs = np.random.RandomState(0)
+    n = 64
+    cx, cy = rs.uniform(100, 400, (2, n))
+    w = rs.uniform(20, 120, n)
+    h = w * rs.uniform(0.3, 0.9, n)
+    th = rs.uniform(0, np.pi, n)
+    quads = jnp.asarray(np.asarray(
+        [cv2.boxPoints(((cx[i], cy[i]), (w[i], h[i]),
+                        np.degrees(th[i]))).reshape(-1)
+         for i in range(n)], np.float32))
+    hbb = R.pointobb2bbox(quads)
+
+    def chain_iou(enc):
+        if enc == "thetaobb":
+            g = R.pointobb2thetaobb(quads)
+            back = R.delta2thetaobb(hbb, R.thetaobb2delta(hbb, g))
+            bq = R.thetaobb2pointobb(back)
+        elif enc == "hobb":
+            g = R.pointobb2hobb(quads)
+            back = R.delta2hobb(hbb, R.hobb2delta(hbb, g))
+            bq = R.hobb2pointobb(back)
+        else:
+            g = R.pointobb_best_point_sort(quads)
+            back = R.delta2pointobb(hbb, R.pointobb2delta(hbb, g))
+            bq = back
+        return np.asarray(jax.vmap(
+            lambda a, b: quad_overlaps(a[None], b[None])[0, 0])(
+            quads, bq))
+
+    for enc, floor in (("thetaobb", 0.8), ("pointobb", 0.95),
+                       ("hobb", 0.85)):
+        iou = chain_iou(enc)
+        assert iou.min() > floor, (enc, float(iou.min()))
