@@ -33,6 +33,12 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
                         or getattr(model, "img_size", 1024))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = mesh.devices.size
+        if batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must be divisible by the "
+                f"data-mesh device count ({n_dev}); pass e.g. "
+                f"--batch-size {-(-batch_size // n_dev) * n_dev}")
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(mesh.axis_names[0]))
         predict = jax.jit(
@@ -70,6 +76,22 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
             progress(len(results), len(my_idxs))
     if num_shards > 1:
         from ..parallel.dist import gather_results
-        results = gather_results(results, num_shards, shard_id, n)
+        example = None
+        if not results:
+            # Empty local shard (num_shards > dataset length): derive
+            # the result spec without running the model so this
+            # process can still contribute to the dense all-gather.
+            zeros = {k: np.zeros((batch_size,) + v, np.float32)
+                     for k, v in (("imgs", (pipe.img_size,
+                                            pipe.img_size, 3)),
+                                  ("img_shapes", (2,)),
+                                  ("scale_factors", ()))}
+            spec = jax.eval_shape(predict, variables, zeros["imgs"],
+                                  zeros["img_shapes"],
+                                  zeros["scale_factors"])
+            example = {k: np.zeros(v.shape[1:], v.dtype)
+                       for k, v in spec.items()}
+        results = gather_results(results, num_shards, shard_id, n,
+                                 example=example)
         names = [dataset.img_infos[i]["file_name"] for i in range(n)]
     return results, names

@@ -114,6 +114,18 @@ class TrainPipeline:
         """img: HWC uint8 BGR (cv2 convention); anns: dict from dataset."""
         size = self.img_size
         if self.albu is not None:
+            # Albu only maps bboxes/labels/pointobbs through the
+            # transform; geometric albu ops would leave stale ignore
+            # regions / polygon masks, so refuse those inputs loudly
+            # rather than silently training on misaligned geometry.
+            for stale in ("bboxes_ignore", "segmentations"):
+                v = anns.get(stale)
+                if v is not None and len(v):
+                    raise ValueError(
+                        f"albu pipeline stage does not transform "
+                        f"'{stale}' — this sample carries "
+                        f"{len(v)} of them; drop the albu stage or "
+                        f"use a pipeline without {stale}")
             img, bb, lab, pp = self.albu(
                 img, anns["bboxes"], anns["labels"],
                 anns.get("pointobbs"))

@@ -250,12 +250,15 @@ def batched_multilevel_roi_align(feats_b, rois_b, out_size=7,
         [f.reshape(b, -1, c) for f in feats_b], axis=1).reshape(-1, c)
 
     rois = rois_b.reshape(b * r, 4)
+    # Level routing uses the UN-rescaled rois (single_level.py:96-100
+    # maps levels first, then applies roi_rescale), matching
+    # multilevel_roi_align / multilevel_roi_align_fused above.
+    lvls = map_roi_levels(rois, num_levels, finest_scale)
     if roi_scale_factor is not None:
         rois = roi_rescale(rois, roi_scale_factor)
     img_off = jnp.repeat(
         jnp.arange(b, dtype=jnp.float32) * per_img, r)      # [B*R]
 
-    lvls = map_roi_levels(rois, num_levels, finest_scale)
     stride = jnp.asarray(featmap_strides, jnp.float32)[lvls]
     h_l = hs[lvls]
     w_l = ws[lvls]

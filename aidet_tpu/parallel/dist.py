@@ -80,7 +80,7 @@ def local_batch_to_global(batch, mesh, axis_name: str = "data"):
 
 
 def gather_results(results: list, num_shards: int, shard_id: int,
-                   total: int, allgather=None):
+                   total: int, allgather=None, example=None):
     """All-gather per-image result dicts across processes and restore
     dataset order.
 
@@ -96,6 +96,11 @@ def gather_results(results: list, num_shards: int, shard_id: int,
         defaults to ``multihost_utils.process_allgather`` (injectable
         for single-host tests — this jaxlib build has no CPU
         cross-process collectives to exercise the real one locally).
+      example: template dict (key → array) giving the per-image result
+        spec. Required when this process's shard may be EMPTY
+        (num_shards > dataset length): the collective's key set and
+        array shapes must match across processes, so an empty shard
+        contributes zero-padded arrays built from the template.
     Returns the full ordered list on every process.
     """
     if num_shards == 1:
@@ -104,11 +109,21 @@ def gather_results(results: list, num_shards: int, shard_id: int,
         from jax.experimental import multihost_utils
         allgather = multihost_utils.process_allgather
 
-    keys = sorted(results[0].keys())
+    template = results[0] if results else example
+    if template is None:
+        raise ValueError(
+            "gather_results: local shard is empty and no `example` "
+            "template was given; every process must contribute "
+            "identically-shaped arrays to the all-gather")
+    keys = sorted(template.keys())
     n_max = -(-total // num_shards)
     stacked = {}
     for k in keys:
-        arr = np.stack([np.asarray(r[k]) for r in results])
+        if results:
+            arr = np.stack([np.asarray(r[k]) for r in results])
+        else:
+            arr = np.zeros((0,) + np.asarray(template[k]).shape,
+                           np.asarray(template[k]).dtype)
         if arr.shape[0] < n_max:  # pad the short shards
             pad = np.zeros((n_max - arr.shape[0],) + arr.shape[1:],
                            arr.dtype)

@@ -83,6 +83,37 @@ def test_gather_results_restores_dataset_order():
             assert float(r["boxes"][0, 0]) == float(i)
 
 
+def test_gather_results_empty_shard_uses_example():
+    """num_shards > dataset length: the empty shard must still join the
+    collective with zero-padded arrays built from the template."""
+    total, num_shards = 1, 2
+    r0 = dict(scores=np.full((3,), 7.0, np.float32))
+    example = dict(scores=np.zeros((3,), np.float32))
+
+    def ag_for(shard_id):
+        def ag(arr):
+            mine = arr
+            if shard_id == 0:   # other (shard 1) is empty → zeros
+                other = np.zeros_like(arr)
+                return np.stack([mine, other])
+            other = np.stack([np.asarray(r0["scores"])])
+            return np.stack([other, mine])
+        return ag
+
+    out0 = gather_results([r0], num_shards, 0, total,
+                          allgather=ag_for(0))
+    out1 = gather_results([], num_shards, 1, total,
+                          allgather=ag_for(1), example=example)
+    for out in (out0, out1):
+        assert len(out) == total
+        assert float(out[0]["scores"][0]) == 7.0
+
+    # no template + empty shard → loud failure, not IndexError
+    import pytest
+    with pytest.raises(ValueError, match="example"):
+        gather_results([], num_shards, 1, total, allgather=ag_for(1))
+
+
 def test_sharded_inference_matches_single(tmp_path):
     """run_inference over an 8-device CPU mesh must reproduce the
     unsharded results (multi_gpu_test parity on one host)."""
