@@ -113,7 +113,9 @@ def anchor_target(anchors: jax.Array,
                   pos_fraction: float = 0.5,
                   neg_pos_ub: float = -1.0,
                   pos_weight: float = -1.0,
-                  sampling: bool = True) -> AnchorTargets:
+                  sampling: bool = True,
+                  gt_rboxes: jax.Array | None = None,
+                  rbox_encode: str | None = None) -> AnchorTargets:
     """Batched anchor targets for RPN/RetinaNet-style heads.
 
     Parity: anchor_target / anchor_target_single
@@ -126,11 +128,21 @@ def anchor_target(anchors: jax.Array,
       gt_boxes: [B, G, 4] padded; gt_valid: [B, G] bool.
       img_shapes: [B, 2] (h, w) of the un-padded image content.
       gt_labels: [B, G] int (1-based classes) or None (RPN binary).
+      gt_rboxes/rbox_encode: rotated single-stage heads — assignment
+        still runs on the gt HBBs, but regression targets become the
+        rotated codec's deltas against the (axis-aligned) anchors
+        (RBBOX_CODECS; rotated RetinaNet, BASELINE config #2).
+        target_means/stds must then match the codec dim.
     """
     batch = gt_boxes.shape[0]
     keys = jax.random.split(key, batch)
+    if rbox_encode is not None:
+        from .rboxes import RBBOX_CODECS
+        _, rbox_encode_fn, _, _ = RBBOX_CODECS[rbox_encode]
+    else:
+        rbox_encode_fn = None
 
-    def single(gt, gtv, gtl, img_shape, k):
+    def single(gt, gtv, gtl, img_shape, k, gt_rb=None):
         if allowed_border >= 0:
             inside = ((anchors[:, 0] >= -allowed_border)
                       & (anchors[:, 1] >= -allowed_border)
@@ -149,8 +161,13 @@ def anchor_target(anchors: jax.Array,
             sm = pseudo_sample_masks(res.gt_inds)
 
         safe_gt = jnp.clip(res.gt_inds - 1, 0, gt.shape[0] - 1)
-        matched_gt = gt[safe_gt]
-        deltas = bbox2delta(anchors, matched_gt, target_means, target_stds)
+        if rbox_encode_fn is not None:
+            deltas = rbox_encode_fn(anchors, gt_rb[safe_gt],
+                                    target_means, target_stds)
+        else:
+            matched_gt = gt[safe_gt]
+            deltas = bbox2delta(anchors, matched_gt, target_means,
+                                target_stds)
         posf = sm.pos.astype(jnp.float32)
         bbox_targets = deltas * posf[:, None]
         bbox_weights = jnp.broadcast_to(posf[:, None], deltas.shape)
@@ -167,11 +184,18 @@ def anchor_target(anchors: jax.Array,
         gt_labels_in = gt_labels
         use_labels = True
 
-    def wrapper(gt, gtv, gtl, shp, k):
-        return single(gt, gtv, gtl if use_labels else None, shp, k)
+    if rbox_encode_fn is not None:
+        def wrapper(gt, gtv, gtl, shp, k, gt_rb):
+            return single(gt, gtv, gtl if use_labels else None, shp, k,
+                          gt_rb)
+        out = jax.vmap(wrapper)(gt_boxes, gt_valid, gt_labels_in,
+                                img_shapes, keys, gt_rboxes)
+    else:
+        def wrapper(gt, gtv, gtl, shp, k):
+            return single(gt, gtv, gtl if use_labels else None, shp, k)
 
-    out = jax.vmap(wrapper)(gt_boxes, gt_valid, gt_labels_in,
-                            img_shapes, keys)
+        out = jax.vmap(wrapper)(gt_boxes, gt_valid, gt_labels_in,
+                                img_shapes, keys)
     labels, label_weights, bbox_targets, bbox_weights, npos, nneg = out
     # reference counts each image as ≥1 (anchor_target.py:66-67)
     num_total_pos = jnp.maximum(npos, 1).sum()

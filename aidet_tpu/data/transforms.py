@@ -239,11 +239,138 @@ def corrupt(img, corruption: str, severity: int = 1, seed: int = 0):
         fog = rng.rand(h // 8 + 1, w // 8 + 1).astype(np.float32)
         fog = cv2.resize(fog, (w, h), interpolation=cv2.INTER_LINEAR)
         x = x * (1 - 0.3 * c / 3.5) + fog[..., None] * 0.3 * c / 3.5
+    elif corruption == "glass_blur":
+        # gaussian blur + iterated local pixel displacement (the
+        # imagecorruptions glass_blur recipe, vectorised via remap
+        # instead of the per-pixel python swap loop)
+        sigma, max_delta, iters = [(0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3),
+                                   (1.1, 3, 2), (1.5, 4, 2)][s - 1]
+        x = cv2.GaussianBlur(x, (0, 0), sigma)
+        h, w = x.shape[:2]
+        gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        for _ in range(iters):
+            dx = rng.randint(-max_delta, max_delta + 1,
+                             (h, w)).astype(np.float32)
+            dy = rng.randint(-max_delta, max_delta + 1,
+                             (h, w)).astype(np.float32)
+            x = cv2.remap(x, np.clip(gx + dx, 0, w - 1),
+                          np.clip(gy + dy, 0, h - 1), cv2.INTER_NEAREST)
+        x = cv2.GaussianBlur(x, (0, 0), sigma)
+    elif corruption == "zoom_blur":
+        # mean of progressively centre-zoomed copies
+        zmax, step = [(1.11, 0.01), (1.16, 0.01), (1.21, 0.02),
+                      (1.26, 0.02), (1.31, 0.03)][s - 1]
+        h, w = x.shape[:2]
+        acc = np.zeros_like(x)
+        zooms = np.arange(1.0, zmax, step)
+        for z in zooms:
+            zh, zw = int(np.ceil(h / z)), int(np.ceil(w / z))
+            top, left = (h - zh) // 2, (w - zw) // 2
+            crop = x[top:top + zh, left:left + zw]
+            acc += cv2.resize(crop, (w, h),
+                              interpolation=cv2.INTER_LINEAR)
+        x = (x + acc) / (len(zooms) + 1)
+    elif corruption == "snow":
+        # gaussian snow layer, zoomed + thresholded + motion-streaked,
+        # composited over a lightened image
+        amt, zoom, thr, blur_sig, mono, streak = [
+            (0.1, 3.0, 0.5, 4, 0.8, 10), (0.2, 2.0, 0.5, 4, 0.7, 12),
+            (0.55, 4.0, 0.9, 8, 0.7, 12), (0.55, 4.5, 0.85, 8, 0.65, 14),
+            (0.55, 2.5, 0.85, 12, 0.55, 16)][s - 1]
+        h, w = x.shape[:2]
+        layer = rng.normal(size=(h // 4, w // 4),
+                           loc=amt, scale=0.3).astype(np.float32)
+        layer = cv2.resize(layer, (w, h),
+                           interpolation=cv2.INTER_LINEAR) * zoom / 2
+        layer[layer < thr] = 0.0
+        k = np.zeros((streak, streak), np.float32)
+        np.fill_diagonal(k, 1.0 / streak)        # diagonal streaks
+        layer = cv2.filter2D(cv2.GaussianBlur(layer, (0, 0), blur_sig / 4),
+                             -1, k)
+        gray = cv2.cvtColor((np.clip(x, 0, 1) * 255).astype(np.uint8),
+                            cv2.COLOR_BGR2GRAY).astype(np.float32) / 255
+        whitened = np.maximum(x, (gray * 1.5 + 0.5)[..., None] * mono)
+        x = mono * x + (1 - mono) * whitened
+        x = x + layer[..., None] + np.rot90(layer, 2)[..., None]
+    elif corruption == "frost":
+        # the reference blends licensed frost photographs; synthesise a
+        # crystalline texture instead (multi-octave noise, thresholded)
+        mix, tint = [(0.78, 0.22), (0.64, 0.36), (0.5, 0.5),
+                     (0.46, 0.54), (0.4, 0.6)][s - 1]
+        h, w = x.shape[:2]
+        tex = np.zeros((h, w), np.float32)
+        for octave in (8, 16, 32):
+            n = rng.rand(h // octave + 1, w // octave + 1).astype(np.float32)
+            tex += cv2.resize(n, (w, h),
+                              interpolation=cv2.INTER_CUBIC) / 3
+        tex = np.clip((tex - 0.45) * 3, 0, 1)
+        frost = np.stack([tex * 0.95, tex * 0.98, tex], -1)  # icy blue
+        x = mix * x + tint * frost
+    elif corruption == "elastic_transform":
+        # smoothed random displacement field (no affine pre-warp at the
+        # detection benchmark's severities, following imagecorruptions)
+        alpha, sigma = [(2.0, 0.7), (2.0, 0.08), (2.0, 0.2),
+                        (4.0, 0.4), (6.0, 0.6)][s - 1]
+        h, w = x.shape[:2]
+        shape_size = min(h, w)
+        a = alpha * shape_size / 224.0 * 20
+        sig = max(sigma * shape_size / 224.0 * 20, 1.0)
+        dx = cv2.GaussianBlur(
+            rng.uniform(-1, 1, (h, w)).astype(np.float32), (0, 0),
+            sig) * a
+        dy = cv2.GaussianBlur(
+            rng.uniform(-1, 1, (h, w)).astype(np.float32), (0, 0),
+            sig) * a
+        gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        x = cv2.remap(x, np.clip(gx + dx, 0, w - 1),
+                      np.clip(gy + dy, 0, h - 1), cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_REFLECT)
+    elif corruption == "speckle_noise":
+        c = [0.06, 0.1, 0.12, 0.16, 0.2][s - 1]
+        x = x + x * rng.normal(size=x.shape).astype(np.float32) * c
+    elif corruption == "gaussian_blur":
+        c = [1, 2, 3, 4, 6][s - 1]
+        x = cv2.GaussianBlur(x, (0, 0), c)
+    elif corruption == "spatter":
+        # liquid layer: thresholded smoothed noise rendered as water
+        # highlights (lighter) or mud blobs (darker)
+        loc, scale, thr, blur_sig, mud = [
+            (0.65, 0.3, 0.69, 0.6, 0), (0.65, 0.3, 0.68, 0.6, 0),
+            (0.65, 0.3, 0.68, 0.5, 0), (0.65, 0.3, 0.65, 1.5, 1),
+            (0.67, 0.4, 0.65, 1.5, 1)][s - 1]
+        h, w = x.shape[:2]
+        liquid = rng.normal(size=(h, w), loc=loc,
+                            scale=scale).astype(np.float32)
+        liquid = cv2.GaussianBlur(liquid, (0, 0), blur_sig)
+        mask = (liquid > thr).astype(np.float32)
+        mask = cv2.GaussianBlur(mask, (0, 0), max(blur_sig, 0.7))
+        if mud:
+            color = np.asarray([20, 42, 63], np.float32) / 255  # BGR mud
+            x = x * (1 - mask[..., None]) + color * mask[..., None]
+        else:
+            water = np.asarray([238, 238, 175], np.float32) / 255
+            x = x + water * (0.6 * mask)[..., None]
+    elif corruption == "saturate":
+        c, shift = [(0.3, 0.0), (0.1, 0.0), (2.0, 0.0),
+                    (5.0, 0.1), (20.0, 0.2)][s - 1]
+        hsv = cv2.cvtColor((np.clip(x, 0, 1) * 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        hsv[..., 1] = np.clip(hsv[..., 1] * c + shift * 255, 0, 255)
+        x = cv2.cvtColor(hsv.astype(np.uint8),
+                         cv2.COLOR_HSV2BGR).astype(np.float32) / 255
     else:
         raise ValueError(f"unknown corruption: {corruption}")
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
 
+# the reference's 15-corruption 'benchmark' set + 4 extras
+# (tools/test_robustness.py:279-298)
 CORRUPTIONS = ("gaussian_noise", "shot_noise", "impulse_noise",
-               "defocus_blur", "motion_blur", "brightness", "contrast",
-               "pixelate", "jpeg_compression", "fog")
+               "defocus_blur", "glass_blur", "motion_blur", "zoom_blur",
+               "snow", "frost", "fog", "brightness", "contrast",
+               "elastic_transform", "pixelate", "jpeg_compression")
+CORRUPTIONS_EXTRA = ("speckle_noise", "gaussian_blur", "spatter",
+                     "saturate")
+CORRUPTIONS_ALL = CORRUPTIONS + CORRUPTIONS_EXTRA

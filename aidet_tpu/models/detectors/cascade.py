@@ -378,9 +378,10 @@ class CascadeRCNN(nn.Module):
         rc = ec["rcnn"]
 
         def one(boxes_i, scores_i, valid_i):
+            from ...ops.nms import nms_cfg_kwargs
             return multiclass_nms(boxes_i, scores_i, rc["score_thr"],
-                                  rc["nms_thr"], rc["max_per_img"],
-                                  valid=valid_i)
+                                  max_num=rc["max_per_img"],
+                                  valid=valid_i, **nms_cfg_kwargs(rc))
         dets = jax.vmap(one)(final, scores, prop_valid)
         out = dict(boxes=dets.boxes, scores=dets.scores,
                    labels=dets.labels, valid=dets.valid)

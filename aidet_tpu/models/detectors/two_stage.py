@@ -27,7 +27,8 @@ from ...core.assign import max_iou_assign
 from ...core.sample import sample_fixed
 from ...core.targets import bbox_target, mask_target, rbbox_target
 from ...core.boxes import delta2bbox
-from ...ops.nms import NEG_INF, multiclass_nms, nms, select_parallel_rboxes
+from ...ops.nms import (NEG_INF, multiclass_nms, nms,
+                        nms_cfg_kwargs, select_parallel_rboxes)
 from ...ops.roi_align import multilevel_roi_align_fused
 from ..builder import build_backbone, build_head, build_neck
 from ..heads.anchor_head import (anchor_head_loss, flatten_level_outputs,
@@ -644,8 +645,8 @@ class TwoStageDetector(nn.Module):
                 RCNN_TARGET_STDS, img_shape=shape_i,
                 reg_class_agnostic=self._bbox_head.reg_class_agnostic)
             return multiclass_nms(boxes, scores, rc["score_thr"],
-                                  rc["nms_thr"], rc["max_per_img"],
-                                  valid=valid_i)
+                                  max_num=rc["max_per_img"],
+                                  valid=valid_i, **nms_cfg_kwargs(rc))
         dets = jax.vmap(decode_one)(proposals, cls_score, bbox_pred,
                                     img_shapes, prop_valid)
         boxes = dets.boxes
@@ -733,8 +734,8 @@ class TwoStageDetector(nn.Module):
         rc = ec["rcnn"]
         from ...ops.nms import NMSResult
         res = multiclass_nms(avg_boxes, avg_scores, rc["score_thr"],
-                             rc["nms_thr"], rc["max_per_img"],
-                             valid=merged_valid)
+                             max_num=rc["max_per_img"],
+                             valid=merged_valid, **nms_cfg_kwargs(rc))
         return dict(boxes=res.boxes[None], scores=res.scores[None],
                     labels=res.labels[None], valid=res.valid[None])
 
@@ -776,8 +777,8 @@ class TwoStageDetector(nn.Module):
                 img_shape=shape_i,
                 reg_class_agnostic=self._bbox_head.reg_class_agnostic)
             return multiclass_nms(boxes, scores, rc["score_thr"],
-                                  rc["nms_thr"], rc["max_per_img"],
-                                  valid=valid_i)
+                                  max_num=rc["max_per_img"],
+                                  valid=valid_i, **nms_cfg_kwargs(rc))
         dets = jax.vmap(decode_one)(props, cls_score, bbox_pred,
                                     img_shapes, prop_valid)
         out = dict(boxes=dets.boxes, scores=dets.scores,

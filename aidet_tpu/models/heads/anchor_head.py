@@ -71,12 +71,15 @@ def anchor_head_loss(cls_flat, box_flat, anchors,
                      cls_loss=None, bbox_loss=None,
                      assigner_cfg=None, sampler_cfg=None,
                      allowed_border=0.0, pos_weight=-1.0,
-                     sampling=True, use_sigmoid_cls=False):
+                     sampling=True, use_sigmoid_cls=False,
+                     gt_rboxes=None, rbox_encode=None):
     """Dense-head loss over flattened predictions.
 
     Parity: AnchorHead.loss (anchor_head.py:162-207) with the
     normalizer num_total_pos + num_total_neg (sampling) or
-    num_total_pos (focal-style heads).
+    num_total_pos (focal-style heads).  ``gt_rboxes``/``rbox_encode``
+    switch the regression targets to a rotated codec (rotated
+    RetinaNet); target_means/stds must then match the codec dim.
     """
     assigner_cfg = assigner_cfg or {}
     sampler_cfg = sampler_cfg or {}
@@ -85,6 +88,7 @@ def anchor_head_loss(cls_flat, box_flat, anchors,
         gt_labels=gt_labels, target_means=target_means,
         target_stds=target_stds, allowed_border=allowed_border,
         pos_weight=pos_weight, sampling=sampling,
+        gt_rboxes=gt_rboxes, rbox_encode=rbox_encode,
         **assigner_cfg, **sampler_cfg)
 
     if sampling:
@@ -185,7 +189,7 @@ def anchor_head_bboxes(cls_flat, box_flat, anchors, level_sizes,
                        target_means=(0., 0., 0., 0.),
                        target_stds=(1., 1., 1., 1.),
                        use_sigmoid_cls=True,
-                       rescale_factors=None):
+                       rescale_factors=None, nms_kwargs=None):
     """Single-stage detection decode (RetinaNet-style).
 
     Parity: AnchorHead.get_bboxes/get_bboxes_single
@@ -218,11 +222,77 @@ def anchor_head_bboxes(cls_flat, box_flat, anchors, level_sizes,
         if use_sigmoid_cls:  # add a dummy background column at 0
             scores = jnp.concatenate(
                 [jnp.zeros((scores.shape[0], 1), scores.dtype), scores], -1)
-        return multiclass_nms(boxes, scores, score_thr, nms_thr,
-                              max_per_img)
+        nkw = dict(iou_thr=nms_thr)
+        nkw.update(nms_kwargs or {})
+        return multiclass_nms(boxes, scores, score_thr,
+                              max_num=max_per_img, **nkw)
 
     res = jax.vmap(single)(cls_flat, box_flat, img_shapes)
     if rescale_factors is not None:
         res = res._replace(
             boxes=res.boxes / rescale_factors[:, None, None])
     return res
+
+
+def anchor_head_rboxes(cls_flat, box_flat, anchors, level_sizes,
+                       img_shapes, encode="thetaobb",
+                       nms_pre=1000, score_thr=0.05, nms_thr=0.1,
+                       max_per_img=100,
+                       target_means=None, target_stds=None,
+                       rescale_factors=None):
+    """Rotated single-stage decode (rotated RetinaNet, BASELINE
+    config #2): per level top ``nms_pre`` by max class score, decode
+    the rotated codec against the axis-aligned anchors, then TRUE
+    rotated multiclass NMS (polygon IoU — the suppression the
+    reference delegated to external wwtool).
+
+    Returns (res: NMSResult with quad boxes [B, K, 8],
+             rboxes [B, K, D] the codec-native decode at the same
+             keep decisions).
+    """
+    from ...core.rboxes import RBBOX_CODECS
+    from ...ops.nms import multiclass_nms
+
+    dim, _, decode_fn, to_quad = RBBOX_CODECS[encode]
+    if target_means is None:
+        target_means = (0.,) * dim
+    if target_stds is None:
+        target_stds = (1.,) * dim
+
+    def single(cls_s, box_p, img_shape):
+        scores_all = jax.nn.sigmoid(cls_s)               # [A, C]
+        lvl_rboxes, lvl_scores = [], []
+        start = 0
+        for n_lvl in level_sizes:
+            sl = slice(start, start + n_lvl)
+            start += n_lvl
+            s = scores_all[sl]
+            k = min(nms_pre, n_lvl) if nms_pre > 0 else n_lvl
+            ranking = s.max(-1)
+            _, top_i = jax.lax.top_k(ranking, k)
+            rb = decode_fn(anchors[sl][top_i], box_p[sl][top_i],
+                           target_means, target_stds)
+            lvl_rboxes.append(rb)
+            lvl_scores.append(s[top_i])
+        rboxes = jnp.concatenate(lvl_rboxes)             # [K, D]
+        scores = jnp.concatenate(lvl_scores)             # [K, C-1]
+        quads = to_quad(rboxes)                          # [K, 8]
+        scores = jnp.concatenate(
+            [jnp.zeros((scores.shape[0], 1), scores.dtype), scores], -1)
+        res = multiclass_nms(quads, scores, score_thr, iou_thr=nms_thr,
+                             max_num=max_per_img, box_dim=8)
+        roi = jnp.clip(res.roi_idx, 0, rboxes.shape[0] - 1)
+        out_rb = jnp.where(res.valid[:, None], rboxes[roi], 0.0)
+        return res, out_rb
+
+    res, rboxes = jax.vmap(single)(cls_flat, box_flat, img_shapes)
+    if rescale_factors is not None:
+        sf = rescale_factors
+        res = res._replace(boxes=res.boxes / sf[:, None, None])
+        if encode == "thetaobb":  # theta is scale-invariant
+            rboxes = jnp.concatenate(
+                [rboxes[..., :4] / sf[:, None, None], rboxes[..., 4:]],
+                -1)
+        else:  # pointobb / hobb coordinates all scale
+            rboxes = rboxes / sf[:, None, None]
+    return res, rboxes

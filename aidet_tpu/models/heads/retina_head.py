@@ -19,6 +19,9 @@ class RetinaHead(nn.Module):
     stacked_convs: int = 4
     num_anchors: int = 9
     prior_prob: float = 0.01
+    # regression dims per anchor: 4 (HBB deltas) or a rotated codec's
+    # dim (5 thetaobb / 8 pointobb — rotated RetinaNet)
+    reg_dim: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -27,18 +30,24 @@ class RetinaHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats):
+        # all convs init at normal(0.01) (retina_head.py init_weights)
+        w_init = nn.initializers.normal(0.01)
         cls_tower = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             kernel_init=w_init,
                              dtype=self.dtype, name=f"cls_conv{i}")
                      for i in range(self.stacked_convs)]
         reg_tower = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             kernel_init=w_init,
                              dtype=self.dtype, name=f"reg_conv{i}")
                      for i in range(self.stacked_convs)]
         bias_init = nn.initializers.constant(
             -math.log((1 - self.prior_prob) / self.prior_prob))
         cls_head = nn.Conv(self.num_anchors * self.cls_out_channels, (3, 3),
-                           padding=1, bias_init=bias_init, dtype=self.dtype,
+                           padding=1, kernel_init=w_init,
+                           bias_init=bias_init, dtype=self.dtype,
                            name="retina_cls")
-        reg_head = nn.Conv(self.num_anchors * 4, (3, 3), padding=1,
+        reg_head = nn.Conv(self.num_anchors * self.reg_dim, (3, 3),
+                           padding=1, kernel_init=w_init,
                            dtype=self.dtype, name="retina_reg")
 
         cls_out, reg_out = [], []
@@ -81,20 +90,26 @@ class RetinaSepBNHead(nn.Module):
     @nn.compact
     def __call__(self, feats):
         assert len(feats) == self.num_ins
+        # all convs init at normal(0.01) (retina_sepbn_head.py)
+        w_init = nn.initializers.normal(0.01)
         cls_tower = [nn.Conv(self.feat_channels, (3, 3), padding=1,
                              use_bias=not self.with_norm,
+                             kernel_init=w_init,
                              dtype=self.dtype, name=f"cls_conv{i}")
                      for i in range(self.stacked_convs)]
         reg_tower = [nn.Conv(self.feat_channels, (3, 3), padding=1,
                              use_bias=not self.with_norm,
+                             kernel_init=w_init,
                              dtype=self.dtype, name=f"reg_conv{i}")
                      for i in range(self.stacked_convs)]
         bias_init = nn.initializers.constant(
             -math.log((1 - self.prior_prob) / self.prior_prob))
         cls_head = nn.Conv(self.num_anchors * self.cls_out_channels, (3, 3),
-                           padding=1, bias_init=bias_init, dtype=self.dtype,
+                           padding=1, kernel_init=w_init,
+                           bias_init=bias_init, dtype=self.dtype,
                            name="retina_cls")
         reg_head = nn.Conv(self.num_anchors * 4, (3, 3), padding=1,
+                           kernel_init=w_init,
                            dtype=self.dtype, name="retina_reg")
 
         def norm(x, name):

@@ -204,16 +204,46 @@ def _per_class_boxes(multi_bboxes, num_classes, dim):
     return jnp.broadcast_to(multi_bboxes[None], (num_classes, n, dim))
 
 
+def nms_cfg_kwargs(cfg: dict) -> dict:
+    """Parse a test_cfg nms selection into multiclass_nms kwargs.
+
+    Parity: bbox_nms.py:45-47 dispatches ``getattr(nms_wrapper,
+    nms_type)`` from ``nms_cfg['type']``.  Accepts both this repo's
+    flat ``nms_thr`` key and the reference-style
+    ``nms=dict(type='soft_nms', iou_thr=..., method=..., sigma=...,
+    min_score=...)`` dict.
+    """
+    out: dict = dict(iou_thr=cfg.get("nms_thr", 0.5))
+    ncfg = cfg.get("nms")
+    if ncfg:
+        d = dict(ncfg)
+        t = d.pop("type", "nms")
+        out["iou_thr"] = d.pop("iou_thr", out["iou_thr"])
+        if t == "soft_nms":
+            out["nms_type"] = "soft_nms"
+            out["soft_method"] = d.pop("method", "linear")
+            out["sigma"] = d.pop("sigma", 0.5)
+            out["min_score"] = d.pop("min_score", 1e-3)
+        elif t != "nms":
+            raise ValueError(f"unknown nms type {t!r}")
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("score_thr", "iou_thr", "max_num", "box_dim",
-                     "pre_nms_top_k"))
+                     "pre_nms_top_k", "nms_type", "soft_method",
+                     "sigma", "min_score"))
 def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
                    score_thr: float, iou_thr: float = 0.5,
                    max_num: int = 100, score_factors=None,
                    valid: jax.Array | None = None,
                    box_dim: int = 4,
-                   pre_nms_top_k: int = 256) -> NMSResult:
+                   pre_nms_top_k: int = 256,
+                   nms_type: str = "nms",
+                   soft_method: str = "linear",
+                   sigma: float = 0.5,
+                   min_score: float = 1e-3) -> NMSResult:
     """Per-class NMS over padded candidates, fixed-size top-K output.
 
     Parity: mmdet/core/post_processing/bbox_nms.py:6-76 — per-class
@@ -222,11 +252,19 @@ def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
     coordinate-offset, which is exactly equivalent and keeps shapes
     static.
 
+    ``nms_type='soft_nms'`` routes each class through soft-NMS
+    (nms_wrapper.py:63-110) — kept detections carry their DECAYED
+    scores into the global top-``max_num`` ranking.
+
     Args:
       multi_bboxes: [N, C*box_dim] (col 0 = background group) or [N, box_dim].
       multi_scores: [N, C+1] with background scores in column 0.
       valid: [N] candidate validity (padding mask).
     """
+    assert nms_type in ("nms", "soft_nms")
+    if nms_type == "soft_nms" and box_dim != 4:
+        raise ValueError("soft_nms supports horizontal boxes only "
+                         "(reference nms_cpu.cpp is HBB-only)")
     n = multi_scores.shape[0]
     num_classes = multi_scores.shape[1] - 1
     if valid is None:
@@ -254,7 +292,14 @@ def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
         top_s, top_i = jax.lax.top_k(cand_scores, k)       # [C, k]
         boxes_k = jnp.take_along_axis(boxes_t, top_i[..., None], axis=1)
         valid_k = top_s > NEG_INF / 2
-        if box_dim == 4:
+        if nms_type == "soft_nms":
+            dec_s, keep_k = jax.vmap(
+                lambda b, s, v: soft_nms(b, s, iou_thr, soft_method,
+                                         sigma, min_score, v))(
+                boxes_k, top_s, valid_k)
+            scores_t = jax.vmap(lambda sc, ti, ds: sc.at[ti].set(ds))(
+                scores_t, top_i, dec_s)
+        elif box_dim == 4:
             keep_k = jax.vmap(lambda b, s, v: nms(b, s, iou_thr, v))(
                 boxes_k, top_s, valid_k)
         else:
@@ -263,6 +308,13 @@ def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
         keep = jnp.zeros_like(cls_valid)
         keep = jax.vmap(lambda km, ti, kk: km.at[ti].set(kk))(
             keep, top_i, keep_k)
+        keep &= cls_valid
+    elif nms_type == "soft_nms":
+        dec_s, keep = jax.vmap(
+            lambda b, s, v: soft_nms(b, s, iou_thr, soft_method,
+                                     sigma, min_score, v))(
+            boxes_t, scores_t, cls_valid)
+        scores_t = dec_s
         keep &= cls_valid
     elif box_dim == 4:
         keep = jax.vmap(lambda b, s, v: nms(b, s, iou_thr, v))(

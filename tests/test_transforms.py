@@ -69,11 +69,25 @@ def test_seg_rescale():
 
 
 def test_corruptions_all_run():
+    from aidet_tpu.data.transforms import CORRUPTIONS_ALL
+    assert len(CORRUPTIONS) == 15          # the reference benchmark set
+    assert len(CORRUPTIONS_ALL) == 19      # + the 4 extras
     img = np.random.RandomState(0).randint(0, 255, (48, 48, 3), np.uint8)
-    for name in CORRUPTIONS:
-        out = corrupt(img, name, severity=3)
-        assert out.shape == img.shape and out.dtype == np.uint8
+    for name in CORRUPTIONS_ALL:
+        for severity in (1, 3, 5):
+            out = corrupt(img, name, severity=severity)
+            assert out.shape == img.shape and out.dtype == np.uint8
         assert not np.array_equal(out, img), name
+
+
+def test_corruption_severity_monotone_for_noise():
+    """Higher severity must perturb more (sanity on the recipes)."""
+    img = np.random.RandomState(1).randint(0, 255, (64, 64, 3), np.uint8)
+    for name in ("gaussian_noise", "speckle_noise", "gaussian_blur",
+                 "zoom_blur", "elastic_transform"):
+        d1 = np.abs(corrupt(img, name, 1).astype(int) - img).mean()
+        d5 = np.abs(corrupt(img, name, 5).astype(int) - img).mean()
+        assert d5 > d1, (name, d1, d5)
 
 
 class _FakeDS:

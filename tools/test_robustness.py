@@ -28,13 +28,30 @@ def main():
     from aidet_tpu.apis.inference import init_detector
     from aidet_tpu.apis.test import run_inference
     from aidet_tpu.data.builder import build_dataset
-    from aidet_tpu.data.transforms import CORRUPTIONS, corrupt
+    from aidet_tpu.data.transforms import (CORRUPTIONS, CORRUPTIONS_ALL,
+                                           corrupt)
     from aidet_tpu.utils.logging import get_root_logger
 
     logger = get_root_logger()
     model, variables, cfg = init_detector(args.config, args.checkpoint)
     dataset = build_dataset(cfg.data["test"])
-    corruptions = args.corruptions or list(CORRUPTIONS)
+    # corruption groups (reference tools/test_robustness.py:278-313)
+    groups = dict(
+        benchmark=list(CORRUPTIONS),
+        all=list(CORRUPTIONS_ALL),
+        noise=["gaussian_noise", "shot_noise", "impulse_noise"],
+        blur=["defocus_blur", "glass_blur", "motion_blur", "zoom_blur"],
+        weather=["snow", "frost", "fog", "brightness"],
+        digital=["contrast", "elastic_transform", "pixelate",
+                 "jpeg_compression"],
+        holdout=["speckle_noise", "gaussian_blur", "spatter", "saturate"])
+    sel = args.corruptions
+    if not sel:
+        corruptions = list(CORRUPTIONS)
+    elif len(sel) == 1 and sel[0] in groups:
+        corruptions = groups[sel[0]]
+    else:
+        corruptions = sel
 
     class CorruptedDS:
         def __init__(self, base, name, severity, n):

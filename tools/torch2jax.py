@@ -22,9 +22,15 @@ TORCH_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
                       152: (3, 8, 36, 3)}
 
 
-def convert_resnet(state_dict: dict, depth: int = 50):
+def convert_resnet(state_dict: dict, depth: int = 50,
+                   stem_space_to_depth: bool = False):
     """torch resnet state_dict → (params, batch_stats) subtrees matching
-    aidet_tpu.models.backbones.resnet.ResNet naming."""
+    aidet_tpu.models.backbones.resnet.ResNet naming.
+
+    ``stem_space_to_depth=True`` relays the 7x7 stem kernel into the
+    numerically-identical [4,4,4C,F] space-to-depth layout
+    (resnet.stem_s2d_weights) for backbones built with that flag.
+    """
     def w(conv_key):
         # torch OIHW → flax HWIO
         return np.transpose(np.asarray(state_dict[conv_key]), (2, 3, 1, 0))
@@ -38,7 +44,11 @@ def convert_resnet(state_dict: dict, depth: int = 50):
 
     params: dict = {}
     stats: dict = {}
-    params["stem_conv"] = dict(kernel=w("conv1.weight"))
+    stem = w("conv1.weight")
+    if stem_space_to_depth:
+        from aidet_tpu.models.backbones.resnet import stem_s2d_weights
+        stem = stem_s2d_weights(stem)
+    params["stem_conv"] = dict(kernel=stem)
     params["stem_bn"], stats["stem_bn"] = bn("bn1")
 
     blocks = TORCH_STAGE_BLOCKS[depth]
@@ -134,7 +144,7 @@ def convert_fc_head(sd, prefix: str, roi_size: int = 7,
 
 
 def convert_detector(state_dict: dict, depth: int = 50,
-                     roi_size: int = 7):
+                     roi_size: int = 7, stem_space_to_depth: bool = False):
     """Full two-stage detector state_dict → flax variables for
     aidet_tpu TwoStageDetector (Faster R-CNN / RBBoxRCNN families).
 
@@ -144,7 +154,8 @@ def convert_detector(state_dict: dict, depth: int = 50,
     Unmapped source keys are returned for caller inspection."""
     bsd = {k[len("backbone."):]: v for k, v in state_dict.items()
            if k.startswith("backbone.")}
-    bb_params, bb_stats = convert_resnet(bsd, depth)
+    bb_params, bb_stats = convert_resnet(
+        bsd, depth, stem_space_to_depth=stem_space_to_depth)
     params = {"_backbone": bb_params,
               "_neck": convert_fpn(state_dict),
               "_rpn": convert_rpn(state_dict),
@@ -182,6 +193,9 @@ def main():
     p.add_argument("torch_ckpt")
     p.add_argument("out_file")
     p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--stem-space-to-depth", action="store_true",
+                   help="relayout the 7x7 stem for backbones built "
+                        "with stem_space_to_depth=True")
     p.add_argument("--scope", choices=("backbone", "detector"),
                    default="backbone",
                    help="convert just the ResNet backbone, or a full "
@@ -189,7 +203,9 @@ def main():
     args = p.parse_args()
     if args.scope == "detector":
         sd = load_torch_state_dict(args.torch_ckpt, strip_backbone=False)
-        variables, unmapped = convert_detector(sd, args.depth)
+        variables, unmapped = convert_detector(
+            sd, args.depth,
+            stem_space_to_depth=args.stem_space_to_depth)
         with open(args.out_file, "wb") as f:
             pickle.dump(variables, f, protocol=4)
         print(f"converted detector → {args.out_file}")
@@ -198,7 +214,8 @@ def main():
                   + ", ".join(sorted(unmapped)[:10]))
         return
     sd = load_torch_state_dict(args.torch_ckpt)
-    params, stats = convert_resnet(sd, args.depth)
+    params, stats = convert_resnet(
+        sd, args.depth, stem_space_to_depth=args.stem_space_to_depth)
     with open(args.out_file, "wb") as f:
         pickle.dump(dict(params=params, batch_stats=stats), f, protocol=4)
     print(f"converted backbone → {args.out_file}")
