@@ -363,9 +363,59 @@ def delta2hobb(rois, deltas,
     return jnp.stack([gx1, gy1, gx2, gy2, gh], axis=-1).reshape(shape)
 
 
+def rtheta2delta(rrois, gt, means=(0.,) * 5, stds=(1.,) * 5):
+    """Encode thetaobb gt against ROTATED proposals (the rotated-RoI
+    refinement codec, BASELINE config #3).
+
+    No reference counterpart — aidet's rbbox heads only regress from
+    HBB proposals (rbbox_head.py); this follows the RoI-Transformer /
+    RRPN delta formulation: center offsets rotated into the proposal
+    frame, log size ratios, raw angle difference.
+
+    Args: rrois [..., 5] (cx, cy, w, h, theta); gt [..., 5].
+    """
+    px, py, pw, ph, pt = (rrois[..., i] for i in range(5))
+    pw = jnp.maximum(pw, 1e-4)
+    ph = jnp.maximum(ph, 1e-4)
+    cos, sin = jnp.cos(pt), jnp.sin(pt)
+    ox = gt[..., 0] - px
+    oy = gt[..., 1] - py
+    dx = (cos * ox + sin * oy) / pw
+    dy = (-sin * ox + cos * oy) / ph
+    dw = jnp.log(jnp.maximum(gt[..., 2], 1e-4) / pw)
+    dh = jnp.log(jnp.maximum(gt[..., 3], 1e-4) / ph)
+    dt = gt[..., 4] - pt
+    deltas = jnp.stack([dx, dy, dw, dh, dt], axis=-1)
+    return _normalize(deltas, means, stds)
+
+
+def delta2rtheta(rrois, deltas, means=(0.,) * 5, stds=(1.,) * 5,
+                 wh_ratio_clip=16.0 / 1000.0):
+    """Inverse of :func:`rtheta2delta` (supports per-class groups)."""
+    shape = deltas.shape
+    d = _denormalize_grouped(deltas, means, stds, 5)
+    dx, dy, dw, dh, dt = (d[..., i] for i in range(5))
+    max_ratio = abs(math.log(wh_ratio_clip))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+    px, py, pw, ph, pt = (rrois[..., i][..., None] for i in range(5))
+    cos, sin = jnp.cos(pt), jnp.sin(pt)
+    ox = cos * (pw * dx) - sin * (ph * dy)
+    oy = sin * (pw * dx) + cos * (ph * dy)
+    gx = px + ox
+    gy = py + oy
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gt_ = pt + dt
+    return jnp.stack([gx, gy, gw, gh, gt_], axis=-1).reshape(shape)
+
+
 # encode-name → (codec dim, encode fn, decode fn, to-pointobb fn)
 RBBOX_CODECS = {
     "thetaobb": (5, thetaobb2delta, delta2thetaobb, thetaobb2pointobb),
     "pointobb": (8, pointobb2delta, delta2pointobb, lambda x: x),
     "hobb": (5, hobb2delta, delta2hobb, hobb2pointobb),
+    # rotated-proposal refinement codec: proposals are [*, 5] rotated
+    # boxes, NOT HBBs — only valid for heads fed by rotated RoI crops
+    "rtheta": (5, rtheta2delta, delta2rtheta, thetaobb2pointobb),
 }

@@ -70,6 +70,11 @@ def rbbox_target(sample: FixedSample, rois: jax.Array,
     Args:
       gt_rboxes: [G, D] in the chosen encoding (D = 5 or 8).
     """
+    if encode == "rtheta":
+        raise ValueError(
+            "rbbox_target encodes against HBB rois; the 'rtheta' codec "
+            "needs rotated proposals — use rtheta2delta directly in the "
+            "rotated-RoI refinement branch")
     dim, encode_fn, _, _ = RBBOX_CODECS[encode]
     if target_means is None:
         target_means = (0.,) * dim

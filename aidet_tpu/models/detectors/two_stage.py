@@ -82,6 +82,10 @@ class TwoStageDetector(nn.Module):
     rpn_head: Any = None
     bbox_head: Any = None
     rbbox_head: Any = None        # RBBoxRCNN branch
+    # rotated-RoI refinement branch (BASELINE config #3): a second
+    # rbbox head fed by ROTATED RoI crops of the first-stage decoded
+    # rboxes, regressing 'rtheta' deltas against them
+    rbbox_refine_head: Any = None
     mask_head: Any = None         # Mask R-CNN / MaskOBB / CenterMap branch
     mask_iou_head: Any = None     # Mask Scoring R-CNN branch
     grid_head: Any = None         # Grid R-CNN branch
@@ -127,6 +131,17 @@ class TwoStageDetector(nn.Module):
             type="SharedFCBBoxHead", num_classes=16, dtype=self.dtype))
         self._rbbox_head = (build_head(self.rbbox_head)
                             if self.rbbox_head else None)
+        if self.rbbox_refine_head:
+            cfg = dict(self.rbbox_refine_head)
+            cfg.setdefault("type", "RBBoxHead")
+            cfg.setdefault("encode", "rtheta")
+            if cfg["encode"] != "rtheta":
+                raise ValueError(
+                    "rbbox_refine_head regresses against rotated "
+                    "proposals; encode must be 'rtheta'")
+            self._rbbox_refine_head = build_head(cfg)
+        else:
+            self._rbbox_refine_head = None
         self._mask_head = (build_head(self.mask_head)
                            if self.mask_head else None)
         self._semantic_head = (build_head(self.semantic_head)
@@ -181,6 +196,15 @@ class TwoStageDetector(nn.Module):
             outs += self._semantic_head(feats)
         if self._rbbox_head is not None:
             outs += self._rbbox_head(crops)
+        if self._rbbox_refine_head is not None:
+            from ...ops.rroi_align import rroi_align_fused
+            dummy_rrois = jnp.tile(jnp.asarray(
+                [[50.0, 50.0, 20.0, 10.0, -0.5]], self.dtype), (4, 1))
+            rcrops = rroi_align_fused(
+                [f[0] for f in feats[:4]], dummy_rrois,
+                out_size=self._rbbox_refine_head.roi_feat_size,
+                featmap_strides=tuple(self.strides[:4]))
+            outs += self._rbbox_refine_head(rcrops)
         if self._mask_head is not None:
             mcrops = multilevel_roi_align_fused(
                 [f[0] for f in feats[:4]], dummy_rois, out_size=14,
@@ -547,6 +571,77 @@ class TwoStageDetector(nn.Module):
             losses["loss_rbbox_cls"] = rloss_cls
             losses["loss_rbbox"] = rloss_bbox
 
+            # rotated-RoI refinement (BASELINE config #3): decode the
+            # first-stage rboxes at the target labels, re-crop with
+            # ROTATED RoIAlign, regress rtheta deltas against them
+            if self._rbbox_refine_head is not None:
+                from ...core.rboxes import (RBBOX_CODECS, delta2thetaobb,
+                                            hobb2thetaobb,
+                                            pointobb2thetaobb,
+                                            rtheta2delta)
+                from ...ops.rroi_align import batched_rroi_align
+
+                p_max = int(rc["num_samples"] * rc["pos_fraction"])
+                d1 = self._rbbox_head.out_dim_reg
+                # class-selected first-stage decode on positive rois
+                lbl = jax.vmap(lambda sm, gl: jnp.where(
+                    sm.is_pos,
+                    gl[jnp.clip(sm.gt_inds, 0, gl.shape[0] - 1)], 0))(
+                        sample, gt_labels)                  # [B, R]
+                rreg_b = rreg.reshape(b, r, -1)
+                if not self._rbbox_head.reg_class_agnostic:
+                    grp = rreg_b.reshape(b, r, -1, d1)
+                    rreg_sel = jnp.take_along_axis(
+                        grp, jnp.clip(lbl, 0, grp.shape[2] - 1)
+                        [..., None, None], axis=2)[:, :, 0]
+                else:
+                    rreg_sel = rreg_b
+                _, _, decode1, _ = RBBOX_CODECS[self.rbbox_encode]
+                dec = jax.vmap(decode1)(rois, rreg_sel)     # [B, R, D]
+                if self.rbbox_encode == "pointobb":
+                    dec = pointobb2thetaobb(dec)
+                elif self.rbbox_encode == "hobb":
+                    dec = hobb2thetaobb(dec)
+                stage1 = jax.lax.stop_gradient(dec[:, :p_max])
+                # keep geometry sane for the rroi crop
+                stage1 = jnp.concatenate(
+                    [stage1[..., :2],
+                     jnp.clip(stage1[..., 2:4], 2.0, self.img_size),
+                     stage1[..., 4:]], -1)
+                rcrops = batched_rroi_align(
+                    [f.astype(self.dtype) for f in feats[:4]], stage1,
+                    out_size=self._rbbox_refine_head.roi_feat_size,
+                    featmap_strides=tuple(self.strides[:4]))
+                d2 = self._rbbox_refine_head.out_dim_reg
+                ref_cls, ref_reg = self._rbbox_refine_head(
+                    rcrops.reshape((b * p_max,) + rcrops.shape[2:]))
+                pos_sm = jax.tree.map(lambda x: x[:, :p_max], sample)
+                gtm = jax.vmap(lambda sm, g: g[jnp.clip(
+                    sm.gt_inds, 0, g.shape[0] - 1)])(pos_sm, gt_rboxes)
+                tgt_ref = jax.vmap(rtheta2delta)(stage1, gtm)
+                is_pos = pos_sm.is_pos.reshape(-1).astype(jnp.float32)
+                lbl_pos = lbl[:, :p_max].reshape(-1)
+                npos = jnp.maximum(is_pos.sum(), 1.0)
+                if not self._rbbox_refine_head.reg_class_agnostic:
+                    grp2 = ref_reg.reshape(b * p_max, -1, d2)
+                    ref_sel = jnp.take_along_axis(
+                        grp2, jnp.clip(lbl_pos, 0, grp2.shape[1] - 1)
+                        [:, None, None], axis=1)[:, 0]
+                else:
+                    ref_sel = ref_reg
+                diff = ref_sel - tgt_ref.reshape(b * p_max, d2)
+                beta = 1.0
+                sl1 = jnp.where(jnp.abs(diff) < beta,
+                                0.5 * diff * diff / beta,
+                                jnp.abs(diff) - 0.5 * beta)
+                losses["loss_rbbox_refine"] = (
+                    sl1.sum(-1) * is_pos).sum() / npos
+                ce = -jax.nn.log_softmax(ref_cls)[
+                    jnp.arange(b * p_max), lbl_pos]
+                lw = pos_sm.valid.reshape(-1).astype(jnp.float32)
+                losses["loss_rbbox_refine_cls"] = (
+                    (ce * lw).sum() / jnp.maximum(lw.sum(), 1.0))
+
         # mask branch on positive rois (two_stage.py:225-259)
         if self._mask_head is not None:
             p_max = int(rc["num_samples"] * rc["pos_fraction"])
@@ -817,6 +912,42 @@ class TwoStageDetector(nn.Module):
                     rboxes, det_i, self._rbbox_head.out_dim_reg)
             out["rboxes"] = jax.vmap(rb_one)(props, rreg, dets)
 
+            # rotated-RoI refinement at inference: re-crop the selected
+            # rboxes with rotated RoIAlign and apply the rtheta deltas
+            if self._rbbox_refine_head is not None:
+                from ...core.rboxes import (delta2rtheta, hobb2thetaobb,
+                                            pointobb2thetaobb)
+                from ...ops.rroi_align import batched_rroi_align
+
+                rb = out["rboxes"]
+                if self.rbbox_encode == "pointobb":
+                    rb = pointobb2thetaobb(rb)
+                elif self.rbbox_encode == "hobb":
+                    rb = hobb2thetaobb(rb)
+                rb = jnp.concatenate(
+                    [rb[..., :2],
+                     jnp.clip(rb[..., 2:4], 2.0, self.img_size),
+                     rb[..., 4:]], -1)
+                k = rb.shape[1]
+                rcrops = batched_rroi_align(
+                    [f.astype(self.dtype) for f in feats[:4]], rb,
+                    out_size=self._rbbox_refine_head.roi_feat_size,
+                    featmap_strides=tuple(self.strides[:4]))
+                d2 = self._rbbox_refine_head.out_dim_reg
+                _, ref_reg = self._rbbox_refine_head(
+                    rcrops.reshape((b * k,) + rcrops.shape[2:]))
+                if not self._rbbox_refine_head.reg_class_agnostic:
+                    grp = ref_reg.reshape(b, k, -1, d2)
+                    cls_idx = jnp.clip(dets.labels + 1, 0,
+                                       grp.shape[2] - 1)
+                    ref_sel = jnp.take_along_axis(
+                        grp, cls_idx[..., None, None], axis=2)[..., 0, :]
+                else:
+                    ref_sel = ref_reg.reshape(b, k, d2)
+                refined = jax.vmap(delta2rtheta)(rb, ref_sel)
+                out["rboxes"] = jnp.where(dets.valid[..., None],
+                                          refined, 0.0)
+
         if self._mask_head is not None:
             def gather_det_rois(det_i):
                 return det_i.boxes[:, :4]
@@ -855,7 +986,9 @@ class TwoStageDetector(nn.Module):
             out["boxes"] = out["boxes"] / sf
             if "rboxes" in out:
                 d = out["rboxes"].shape[-1]
-                if d == 5 and self.rbbox_encode == "thetaobb":
+                # refined outputs are always thetaobb (theta unscaled)
+                if d == 5 and (self.rbbox_encode == "thetaobb"
+                               or self._rbbox_refine_head is not None):
                     scale = jnp.concatenate(
                         [jnp.ones((b, 1, 4)) / sf[..., None][..., 0],
                          jnp.ones((b, 1, 1))], -1)
@@ -886,6 +1019,13 @@ MaskScoringRCNN = _two_stage_factory(
     mask_iou_head=dict(type="MaskIoUHead"))
 RBBoxRCNN = _two_stage_factory(
     "RBBoxRCNN", rbbox_head=dict(type="RBBoxHead"))
+# RBBoxRCNN + rotated-RoI refinement stage (BASELINE config #3:
+# "faster_rcnn + rotated RoI align with H/Point OBB heads"): the
+# first-stage rbbox head may use any encoding; its decoded rboxes are
+# re-cropped with rotated RoIAlign and refined by an rtheta head
+RBBoxRCNNRRoI = _two_stage_factory(
+    "RBBoxRCNNRRoI", rbbox_head=dict(type="RBBoxHead"),
+    rbbox_refine_head=dict(type="RBBoxHead", encode="rtheta"))
 MaskOBB = _two_stage_factory(
     "MaskOBB", mask_head=dict(type="FCNMaskHead"))
 CenterMapOBB = _two_stage_factory(

@@ -56,17 +56,27 @@ def _greedy_keep(iou_sorted_mat: jax.Array, order: jax.Array,
     depth ≤ k is resolved, so the fixpoint IS the greedy solution.
     Sequential steps drop from N to (N/T)·(fixpoint iters + 1).
     """
+    keep_sorted = _greedy_keep_presupp(iou_sorted_mat > iou_thr,
+                                       valid_sorted)
     n = iou_sorted_mat.shape[0]
-    iou_sorted = iou_sorted_mat > iou_thr         # [N, N] bool, score order
+    return jnp.zeros(n, bool).at[order].set(keep_sorted)
+
+
+def _greedy_keep_presupp(supp_in: jax.Array,
+                         valid_sorted: jax.Array) -> jax.Array:
+    """Greedy keep over a PRE-THRESHOLDED [N, N] bool suppression
+    matrix whose rows/cols are already in descending-score order.
+    Returns the keep mask in that same order."""
+    n = supp_in.shape[0]
 
     t = min(_NMS_TILE, n)
     num_tiles = -(-n // t)
     pad = num_tiles * t - n
     if pad:
-        supp = jnp.pad(iou_sorted, ((0, pad), (0, pad)))
+        supp = jnp.pad(supp_in, ((0, pad), (0, pad)))
         valid_sorted = jnp.pad(valid_sorted, (0, pad))
     else:
-        supp = iou_sorted
+        supp = supp_in
     np_ = num_tiles * t
     idx = jnp.arange(np_)
 
@@ -98,36 +108,65 @@ def _greedy_keep(iou_sorted_mat: jax.Array, order: jax.Array,
             fix_cond, fix_body, (a1, alive0, jnp.int32(1)))
         return jax.lax.dynamic_update_slice(keep, alive, (sl,))
 
-    keep_sorted = jax.lax.fori_loop(0, num_tiles, tile_body,
-                                    jnp.zeros(np_, bool))[:n]
-    return jnp.zeros(n, bool).at[order].set(keep_sorted)
+    return jax.lax.fori_loop(0, num_tiles, tile_body,
+                             jnp.zeros(np_, bool))[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thr",))
+def _suppression_matrix(boxes: jax.Array, iou_thr: float) -> jax.Array:
+    """[N, N] bool: IoU(i, j) > thr, computed WITHOUT materialising the
+    f32 IoU matrix — scalar per-coordinate broadcasts fuse into one
+    elementwise loop and ``inter > thr·union`` avoids the divide
+    (~2x faster than ``bbox_overlaps(b, b) > thr`` on TPU)."""
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.clip(xx2 - xx1 + 1.0, 0, None)   # legacy +1 (bbox_overlaps)
+    h = jnp.clip(yy2 - yy1 + 1.0, 0, None)
+    inter = w * h
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    union = area[:, None] + area[None, :] - inter
+    return inter > iou_thr * union
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thr", "presorted"))
 def nms(boxes: jax.Array, scores: jax.Array, iou_thr: float = 0.5,
-        valid: jax.Array | None = None) -> jax.Array:
+        valid: jax.Array | None = None,
+        presorted: bool = False) -> jax.Array:
     """Hard greedy NMS on horizontal boxes.
 
     Args:
       boxes: [N, 4]; scores: [N]; valid: optional [N] bool.
+      presorted: caller guarantees scores are already DESCENDING with
+        invalid entries ranked last (e.g. straight out of top_k) —
+        skips the argsort/gather (~3 ms at N=2000 on TPU).
     Returns: keep mask [N] (bool).
     """
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
+    if presorted:
+        return _greedy_keep_presupp(
+            _suppression_matrix(boxes, iou_thr), valid)
     order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
     boxes_s = boxes[order]
-    iou = bbox_overlaps(boxes_s, boxes_s)
-    return _greedy_keep(iou, order, valid[order], iou_thr)
+    keep_sorted = _greedy_keep_presupp(
+        _suppression_matrix(boxes_s, iou_thr), valid[order])
+    return jnp.zeros(order.shape[0], bool).at[order].set(keep_sorted)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thr",))
+@functools.partial(jax.jit, static_argnames=("iou_thr", "presorted"))
 def rnms(quads: jax.Array, scores: jax.Array, iou_thr: float = 0.1,
-         valid: jax.Array | None = None) -> jax.Array:
+         valid: jax.Array | None = None,
+         presorted: bool = False) -> jax.Array:
     """Rotated (polygon) greedy NMS on [N, 8] quads — the true rotated
     suppression the reference lacked natively (SURVEY.md §2.1)."""
     from ..core.riou import quad_overlaps
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
+    if presorted:
+        return _greedy_keep_presupp(
+            quad_overlaps(quads, quads) > iou_thr, valid)
     order = jnp.argsort(-jnp.where(valid, scores, NEG_INF))
     quads_s = quads[order]
     iou = quad_overlaps(quads_s, quads_s)
@@ -300,10 +339,12 @@ def multiclass_nms(multi_bboxes: jax.Array, multi_scores: jax.Array,
             scores_t = jax.vmap(lambda sc, ti, ds: sc.at[ti].set(ds))(
                 scores_t, top_i, dec_s)
         elif box_dim == 4:
-            keep_k = jax.vmap(lambda b, s, v: nms(b, s, iou_thr, v))(
+            keep_k = jax.vmap(
+                lambda b, s, v: nms(b, s, iou_thr, v, presorted=True))(
                 boxes_k, top_s, valid_k)
         else:
-            keep_k = jax.vmap(lambda q, s, v: rnms(q, s, iou_thr, v))(
+            keep_k = jax.vmap(
+                lambda q, s, v: rnms(q, s, iou_thr, v, presorted=True))(
                 boxes_k, top_s, valid_k)
         keep = jnp.zeros_like(cls_valid)
         keep = jax.vmap(lambda km, ti, kk: km.at[ti].set(kk))(

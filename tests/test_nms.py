@@ -88,6 +88,29 @@ def test_nms_respects_valid_mask():
     np.testing.assert_array_equal(keep[:10], oracle)
 
 
+def test_nms_presorted_matches_unsorted():
+    """presorted=True on descending scores must reproduce plain nms."""
+    boxes, scores = random_dets(64, 11)
+    order = np.argsort(-scores)
+    b_s, s_s = boxes[order], scores[order]
+    keep_ref = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.5))
+    keep_pre = np.asarray(nms(jnp.asarray(b_s), jnp.asarray(s_s), 0.5,
+                              presorted=True))
+    np.testing.assert_array_equal(keep_pre, keep_ref[order])
+    # with a validity mask (padding ranked last)
+    valid = np.ones(64, bool); valid[50:] = False
+    s2 = scores.copy(); s2[~valid] = -1e10
+    order2 = np.argsort(-s2)
+    keep_ref2 = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(s2),
+                               0.5, jnp.asarray(valid)))
+    keep_pre2 = np.asarray(nms(jnp.asarray(boxes[order2]),
+                               jnp.asarray(s2[order2]), 0.5,
+                               jnp.asarray(valid[order2]),
+                               presorted=True))
+    np.testing.assert_array_equal(keep_pre2, keep_ref2[order2])
+
+
 def test_soft_nms_decays_overlapping():
     boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
                      np.float32)
