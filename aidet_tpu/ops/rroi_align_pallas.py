@@ -115,19 +115,20 @@ def _prepare_rot(feats, rrois, out_size, featmap_strides,
         wy_s = one_d(ys_c, wy0_c, hl_c, WIN_Y)     # [C, n², WY]
         wx_s = one_d(xs_c, wx0_c, wl_c, WIN_X)     # [C, n², WX]
         kc = wy_s.shape[0]
-        # regroup samples (a, b) = ((p, suby), (q, subx)) → batch
-        # (bin), contraction (sub): the s²-subsample mean becomes ONE
-        # batched matmul and the [*, n², WY·WX] outer-product
-        # intermediate is never materialised
+        # regroup samples (a, b) = ((p, suby), (q, subx)) so the
+        # s²-subsample mean is a reduction over one axis
         def regroup(w, width):
             w = w.reshape(kc, out_size, s, out_size, s, width)
             return w.transpose(0, 1, 3, 2, 4, 5).reshape(
                 kc * out_size * out_size, s * s, width)
         wy_b = regroup(wy_s, WIN_Y)                # [(C·P²), s², WY]
         wx_b = regroup(wx_s, WIN_X)
-        m = jax.lax.dot_general(
-            wy_b, wx_b, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)    # [(C·P²), WY, WX]
+        # broadcast-multiply + sub-axis reduce instead of a batched
+        # [s²,WY]x[s²,WX] dot_general: those 4x32x48 matmuls pad to
+        # full MXU tiles (<1% utilisation) and dominated the prep
+        # (~9.6 of 14.4 ms at 1600 rois); the multiply-reduce fuses
+        # on the VPU without materialising the outer product
+        m = (wy_b[:, :, :, None] * wx_b[:, :, None, :]).sum(1)
         m = m / (s * s)
         return m.reshape(kc, out_size * out_size,
                          WIN_Y * WIN_X).astype(jnp.bfloat16)

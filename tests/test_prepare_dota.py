@@ -91,3 +91,34 @@ def test_prepare_multiscale(tmp_path):
     scales = {parse_patch_name(im["file_name"])[3]
               for im in data["images"]}
     assert scales == {0.5, 1.0}
+
+
+def test_synth_dota_generator(tmp_path):
+    """tools/synth_dota.py emits devkit-format scenes that round-trip
+    through prepare_split; realistic mode produces anisotropic angles."""
+    import subprocess, sys, os
+    out = tmp_path / "synth"
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__), "..",
+                                 "tools", "synth_dota.py"),
+                    str(out), "--scenes", "2", "--size", "600",
+                    "--objs", "25", "--angle-mode", "realistic"],
+                   check=True)
+    assert (out / "images" / "P0000.png").exists()
+    polys, names, diff = parse_devkit_txt(
+        str(out / "labelTxt" / "P0000.txt"))
+    assert len(polys) == 25 and len(names) == 25
+    import numpy as np
+    polys = np.asarray(polys, np.float32).reshape(-1, 4, 2)
+    # recover angles of the first edge; realistic scenes must NOT be
+    # uniform: road/grid classes cluster around few directions
+    ang = np.arctan2(polys[:, 1, 1] - polys[:, 0, 1],
+                     polys[:, 1, 0] - polys[:, 0, 0]) % (np.pi / 2)
+    hist, _ = np.histogram(ang, bins=6, range=(0, np.pi / 2))
+    assert hist.max() >= len(polys) * 0.3   # clustered, not uniform
+
+    prepare_split(str(out), str(tmp_path / "prep"), "trainval",
+                  patch=512, overlap=100)
+    import json
+    coco = json.load(open(tmp_path / "prep" / "trainval.json"))
+    assert coco["annotations"], "no annotations survived tiling"
