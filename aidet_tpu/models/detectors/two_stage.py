@@ -223,7 +223,7 @@ class TwoStageDetector(nn.Module):
         return outs
 
     # ------------------------------------------------------------------
-    def _rpn_outputs(self, feats):
+    def _rpn_outputs(self, feats, masked=False):
         """Flattened RPN predictions + anchor geometry.
 
         Returns (cls_flat, reg_flat, anchors, target_stds, level_sizes,
@@ -238,7 +238,8 @@ class TwoStageDetector(nn.Module):
                 rpn_cls, rpn_reg, self._rpn.cls_out_channels)
             return (cls_flat, reg_flat, self._anchors, RPN_TARGET_STDS,
                     self._level_sizes, None, None)
-        cls_out, shape_out, loc_out, reg_out = self._rpn(feats)
+        cls_out, shape_out, loc_out, reg_out = self._rpn(
+            feats, masked=masked)
         b = cls_out[0].shape[0]
         f = lambda xs, d: jnp.concatenate(
             [x.reshape(b, -1, d) for x in xs], 1)
@@ -768,7 +769,7 @@ class TwoStageDetector(nn.Module):
         ec = self._ec
         feats = self.extract_feat(imgs)
         (cls_flat, reg_flat, rpn_anchors, rpn_stds, rpn_lvl_sizes,
-         loc_keep, _) = self._rpn_outputs(feats)
+         loc_keep, _) = self._rpn_outputs(feats, masked=True)
         if loc_keep is not None:
             cls_flat = jnp.where(loc_keep[..., None], cls_flat, -1e4)
         props, scores, valid = rpn_proposals(
@@ -843,7 +844,7 @@ class TwoStageDetector(nn.Module):
         ec = self._ec
         feats = self.extract_feat(imgs)
         (cls_flat, reg_flat, rpn_anchors, rpn_stds, rpn_lvl_sizes,
-         loc_keep, _) = self._rpn_outputs(feats)
+         loc_keep, _) = self._rpn_outputs(feats, masked=True)
         if loc_keep is not None:
             cls_flat = jnp.where(loc_keep[..., None], cls_flat, -1e4)
         props, _, prop_valid = rpn_proposals(

@@ -37,6 +37,7 @@ class GARetinaHead(nn.Module):
     stacked_convs: int = 4
     deformable_groups: int = 1
     prior_prob: float = 0.01
+    loc_filter_thr: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -44,7 +45,14 @@ class GARetinaHead(nn.Module):
         return self.num_classes - 1
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, masked=False):
+        """``masked=True`` (inference) evaluates the cls/reg heads
+        through masked_conv2d gated by the loc prediction — parity with
+        the reference's MaskedConv2d test path (guided_anchor_head.py:
+        181-201).  On TPU the dense-conv-x-mask form IS the fast path
+        (gather-based sparsity would force dynamic shapes); the zeroed
+        logits are discarded downstream by the same loc filter the
+        predict path already applies."""
         cls_tower = [nn.Conv(self.feat_channels, (3, 3), padding=1,
                              dtype=self.dtype, name=f"cls_conv{i}")
                      for i in range(self.stacked_convs)]
@@ -82,7 +90,8 @@ class GARetinaHead(nn.Module):
             for cc, rr in zip(cls_tower, reg_tower):
                 c = nn.relu(cc(c))
                 r = nn.relu(rr(r))
-            loc_out.append(conv_loc(c))
+            loc = conv_loc(c)
+            loc_out.append(loc)
             shape = conv_shape(r)
             shape_out.append(shape)
             off = offset_conv(jax.lax.stop_gradient(shape))
@@ -90,8 +99,19 @@ class GARetinaHead(nn.Module):
             def dcn(x, o, w):
                 return jax.vmap(
                     lambda img, oo: deform_conv2d(img, oo, w))(x, o)
-            cls_out.append(cls_head(nn.relu(dcn(c, off, adapt_cls_w))))
-            reg_out.append(reg_head(nn.relu(dcn(r, off, adapt_reg_w))))
+            ca = nn.relu(dcn(c, off, adapt_cls_w))
+            ra = nn.relu(dcn(r, off, adapt_reg_w))
+            cls = cls_head(ca)
+            reg = reg_head(ra)
+            if masked:
+                # dense-conv x loc-mask == ops.grid_sample.masked_conv2d
+                # (its TPU realisation) applied to the head convs
+                m = (jax.nn.sigmoid(loc) > self.loc_filter_thr)
+                m = m.astype(cls.dtype)
+                cls = cls * m
+                reg = reg * m
+            cls_out.append(cls)
+            reg_out.append(reg)
         return cls_out, shape_out, loc_out, reg_out
 
 
@@ -104,6 +124,7 @@ class GARPNHead(nn.Module):
     in_channels: int = 256
     feat_channels: int = 256
     prior_prob: float = 0.01
+    loc_filter_thr: float = 0.01
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -111,7 +132,11 @@ class GARPNHead(nn.Module):
         return 1
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, masked=False):
+        """``masked=True`` mirrors the reference's MaskedConv2d test
+        path (ga_rpn inference): cls/reg outputs are gated by the loc
+        prediction; on TPU dense-conv-x-mask is masked_conv2d's fast
+        realisation (sparse gather would break static shapes)."""
         rpn_conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
                            dtype=self.dtype, name="rpn_conv")
         bias_init = nn.initializers.constant(
@@ -135,14 +160,22 @@ class GARPNHead(nn.Module):
         loc_out, shape_out, cls_out, reg_out = [], [], [], []
         for f in feats:
             x = nn.relu(rpn_conv(f))
-            loc_out.append(conv_loc(x))
+            loc = conv_loc(x)
+            loc_out.append(loc)
             shape = conv_shape(x)
             shape_out.append(shape)
             off = offset_conv(jax.lax.stop_gradient(shape))
             adapted = nn.relu(jax.vmap(
                 lambda img, oo: deform_conv2d(img, oo, adapt_w))(x, off))
-            cls_out.append(cls_head(adapted))
-            reg_out.append(reg_head(adapted))
+            cls = cls_head(adapted)
+            reg = reg_head(adapted)
+            if masked:
+                m = (jax.nn.sigmoid(loc) > self.loc_filter_thr)
+                m = m.astype(cls.dtype)
+                cls = cls * m
+                reg = reg * m
+            cls_out.append(cls)
+            reg_out.append(reg)
         return cls_out, shape_out, loc_out, reg_out
 
 
@@ -293,7 +326,7 @@ class GARetinaNet(nn.Module):
 
     def predict(self, imgs, img_shapes, scale_factors=None):
         cls_flat, shape_flat, loc_flat, reg_flat = self._flatten(
-            self._head(self.extract_feat(imgs)))
+            self._head(self.extract_feat(imgs), masked=True))
         anchors = self._guided_anchors(shape_flat)
         ec = self._ec
         loc_prob = jax.nn.sigmoid(loc_flat)

@@ -1,0 +1,352 @@
+"""Fused FPN / RPN level kernels (Pallas, TPU).
+
+XLA's FPN spills the lateral, the top-down merge and the 3x3 output
+conv to HBM separately per level (measured ~18 ms of a 118 ms predict
+at batch 16x1024^2 on v5e, vs a ~10 ms roofline), and the RPN head
+re-reads every P level again.  These kernels keep a level's row strip
+resident in VMEM:
+
+- ``fpn_fused``: per level, lateral 1x1 (+bias) on C_l, nearest-2x
+  top-down merge with the coarser merged map, 3x3 output conv (+bias) —
+  one read of C_l + one read of the half-resolution merged map, one
+  write of P_l (plus the merged map where a finer level consumes it).
+  Parity: mmdet/models/necks/fpn.py:96-135 (laterals, top-down, outs).
+- ``rpn_fused``: shared 3x3 conv + relu + cls/reg 1x1s in one pass over
+  each P_l (parity: mmdet/models/anchor_heads/rpn_head.py:27-38).
+
+Both reuse the halo'd strip DMA + frontier-mask machinery of
+ops/fused_resnet.py.  Backward recomputes through plain-XLA reference
+replicas via custom_vjp, so the fused modules stay trainable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_resnet import MARGIN, frontier_mask, load_strip
+
+
+def _round16(v):
+    return -(-v // 16) * 16
+
+
+def _pick_strip(h, w, c, budget=3 << 20):
+    t = max(8, min(h, budget // (max(w, 1) * c * 2)))
+    while h % t:
+        t -= 1
+    return t
+
+
+# --------------------------------------------------------------------
+# FPN level kernel: P_l = conv3x3(lat_l + up2(m_next)) (+bias)
+# --------------------------------------------------------------------
+
+def _fpn_kernel(has_up, write_m, T, W, Wp, n_chunk, *refs):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    mn_ref = refs.pop(0) if has_up else None
+    wl, bl, wp, bp = refs[:4]
+    refs = refs[4:]
+    if write_m:
+        p_ref, m_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        p_ref, m_ref = refs[0], None
+        refs = refs[1:]
+    if has_up:
+        xbuf, mnbuf, mbuf, pbuf, sem_a, sem_b = refs
+    else:
+        xbuf, mbuf, pbuf, sem_a, sem_b = refs
+        mnbuf = None
+
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    S = pl.num_programs(1)
+    r0 = s * T
+    Tk = T + 2
+    dt = mbuf.dtype
+
+    load_strip(x_ref, b, s, S, T, 1, W, xbuf, sem_a)
+    mask = frontier_mask(s, S, T, 1, W, Wp, dt)
+
+    lat = jax.lax.dot_general(
+        xbuf[:], wl[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bl[:]
+
+    if has_up:
+        # merged-map rows floor((r0-1)/2)..floor((r0+T)/2) =
+        # (T//2 + 2) rows from r0//2 - 1; load_strip with T//2 handles
+        # the edge zero-fill.  After 2x nearest repeat, buffer row i
+        # (image row r0 - 1 + i) lives at repeat row i + 1; buffer col
+        # i (image col i - MARGIN) lives at repeat col i + MARGIN.
+        load_strip(mn_ref, b, s, S, T // 2, 1, W // 2, mnbuf, sem_a)
+        up = jnp.repeat(jnp.repeat(mnbuf[:], 2, 0), 2, 1)
+        m = (lat.astype(dt)
+             + up[1:1 + Tk, MARGIN:MARGIN + Wp]) * mask
+    else:
+        m = lat.astype(dt) * mask
+    mbuf[:] = m
+
+    if write_m:
+        cp = pltpu.make_async_copy(
+            mbuf.at[pl.ds(1, T), pl.ds(MARGIN, W)],
+            m_ref.at[b, pl.ds(r0, T)], sem_b)
+        cp.start()
+        cp.wait()
+
+    mp = jnp.pad(mbuf[:], ((1, 1), (1, 1), (0, 0)))
+    rows = T // n_chunk
+    for c in range(n_chunk):
+        a = c * rows                      # pbuf row; buffer row a + 1
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                t = jax.lax.dot_general(
+                    mp[a + 1 + dy:a + 1 + dy + rows, dx:dx + Wp],
+                    wp[dy, dx], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        pbuf[a:a + rows] = (acc + bp[:]).astype(dt)
+
+    cp = pltpu.make_async_copy(
+        pbuf.at[pl.ds(0, T), pl.ds(MARGIN, W)],
+        p_ref.at[b, pl.ds(r0, T)], sem_b)
+    cp.start()
+    cp.wait()
+
+
+def _fpn_level_pallas(x, m_next, wl, bl, wp, bp, write_m,
+                      interpret=False):
+    B, H, W, C = x.shape
+    Co = wl.shape[1]
+    has_up = m_next is not None
+    T = _pick_strip(H, W + 2, max(C, Co))
+    if has_up:
+        T = max(T, 2)
+        while H % T or T % 2:
+            T -= 1
+    S = H // T
+    Tk = T + 2
+    Wp = _round16(MARGIN + W + 1)
+    n_chunk = 1
+    while T % (n_chunk * 2) == 0 and (T // n_chunk) * Wp * Co * 4 > (2 << 20):
+        n_chunk *= 2
+
+    scratch = [pltpu.VMEM((Tk, Wp, C), x.dtype)]
+    if has_up:
+        # repeat-2x must cover cols [MARGIN, MARGIN + Wp)
+        mn_wp = max(_round16(MARGIN + W // 2 + 1),
+                    _round16((MARGIN + Wp + 1) // 2))
+        scratch.append(
+            pltpu.VMEM((T // 2 + 2, mn_wp, Co), x.dtype))
+    scratch += [pltpu.VMEM((Tk, Wp, Co), x.dtype),
+                pltpu.VMEM((T, Wp, Co), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(())]
+
+    out_shape = [jax.ShapeDtypeStruct((B, H, W, Co), x.dtype)]
+    if write_m:
+        out_shape.append(jax.ShapeDtypeStruct((B, H, W, Co), x.dtype))
+
+    n_in = 2 + 4 if has_up else 1 + 4
+    grid_spec = pl.GridSpec(
+        grid=(B, S),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 if has_up else 1)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
+        scratch_shapes=scratch,
+    )
+    del n_in
+    args = (x,) + ((m_next,) if has_up else ()) + (wl, bl, wp, bp)
+    outs = pl.pallas_call(
+        functools.partial(_fpn_kernel, has_up, write_m, T, W, Wp,
+                          n_chunk),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*args)
+    return (outs[0], outs[1]) if write_m else (outs[0], None)
+
+
+def fpn_ref(inputs, weights):
+    """XLA replica of the fused region: laterals + top-down + 3x3 outs
+    (no extra levels — the caller handles those)."""
+    wls, bls, wps, bps = weights
+    dt = inputs[0].dtype
+    lats = [jnp.einsum("bhwc,cm->bhwm", x, wl.astype(dt))
+            + bl.astype(dt)
+            for x, wl, bl in zip(inputs, wls, bls)]
+    for i in range(len(lats) - 1, 0, -1):
+        up = jnp.repeat(jnp.repeat(lats[i], 2, 1), 2, 2)
+        lats[i - 1] = lats[i - 1] + up
+    outs = [jax.lax.conv_general_dilated(
+        lats[i], wps[i].astype(dt), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bps[i].astype(dt)
+        for i in range(len(lats))]
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fpn_fused(inputs, weights, interpret=False):
+    """Fused FPN over the lateral levels.
+
+    inputs: tuple of C_l maps fine->coarse ([B,H,W,C_l], H halving);
+    weights: (wls, bls, wps, bps) tuples per level with wl [C_l, Co],
+    wp [3, 3, Co, Co].  Returns tuple of P_l.
+    """
+    wls, bls, wps, bps = weights
+    dt = inputs[0].dtype
+    L = len(inputs)
+    outs = [None] * L
+    m_next = None
+    for lvl in range(L - 1, -1, -1):
+        p, m = _fpn_level_pallas(
+            inputs[lvl], m_next,
+            wls[lvl].astype(dt), bls[lvl].astype(jnp.float32),
+            wps[lvl].astype(dt), bps[lvl].astype(jnp.float32),
+            write_m=lvl > 0, interpret=interpret)
+        outs[lvl] = p
+        m_next = m
+    return tuple(outs)
+
+
+def _fpn_fwd(inputs, weights, interpret=False):
+    return fpn_fused(inputs, weights, interpret), (inputs, weights)
+
+
+def _fpn_bwd(interpret, res, g):
+    inputs, weights = res
+    _, vjp = jax.vjp(fpn_ref, inputs, weights)
+    return vjp(g)
+
+
+fpn_fused.defvjp(_fpn_fwd, _fpn_bwd)
+
+
+# --------------------------------------------------------------------
+# RPN level kernel: t = relu(conv3x3(P) + b); cls/reg = 1x1(t)
+# --------------------------------------------------------------------
+
+def _rpn_kernel(T, W, Wp, n_chunk, n_cls,
+                x_ref, wr, br, wcg, bcg, cls_ref, reg_ref,
+                xbuf, sem_a):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    S = pl.num_programs(1)
+    dt = xbuf.dtype
+    del b
+
+    load_strip(x_ref, pl.program_id(0), s, S, T, 1, W, xbuf, sem_a)
+
+    xp = jnp.pad(xbuf[:], ((1, 1), (1, 1), (0, 0)))
+    rows = T // n_chunk
+    for c in range(n_chunk):
+        a = c * rows
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                t = jax.lax.dot_general(
+                    xp[a + 1 + dy:a + 1 + dy + rows, dx:dx + Wp],
+                    wr[dy, dx], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        t = jnp.maximum(acc + br[:], 0).astype(dt)
+        og = jax.lax.dot_general(
+            t, wcg[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bcg[:]
+        # narrow (3/12-lane) outputs ride Pallas-managed blocked
+        # out_specs — a manual DMA would need 128-aligned lane sizes
+        og = og[:, MARGIN:MARGIN + W]
+        cls_ref[0, a:a + rows] = og[..., :n_cls].astype(dt)
+        reg_ref[0, a:a + rows] = og[..., n_cls:].astype(dt)
+
+
+def _rpn_level_pallas(x, wr, br, wc, bc, wg, bg, interpret=False):
+    B, H, W, C = x.shape
+    n_cls = wc.shape[1]
+    n_reg = wg.shape[1]
+    wcg = jnp.concatenate([wc, wg], 1)
+    bcg = jnp.concatenate([bc, bg], 0)
+    T = _pick_strip(H, W + 2, C)
+    S = H // T
+    Wp = _round16(MARGIN + W + 1)
+    n_chunk = 1
+    while T % (n_chunk * 2) == 0 and (T // n_chunk) * Wp * C * 4 > (2 << 20):
+        n_chunk *= 2
+
+    grid_spec = pl.GridSpec(
+        grid=(B, S),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[
+            pl.BlockSpec((1, T, W, n_cls), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, W, n_reg), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 2, Wp, C), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_rpn_kernel, T, W, Wp, n_chunk, n_cls),
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, n_cls), x.dtype),
+                   jax.ShapeDtypeStruct((B, H, W, n_reg), x.dtype)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(x, wr, br, wcg, bcg)
+
+
+def rpn_ref(feats, weights):
+    wr, br, wc, bc, wg, bg = weights
+    dt = feats[0].dtype
+    cls_out, reg_out = [], []
+    for f in feats:
+        t = jax.lax.conv_general_dilated(
+            f, wr.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + br.astype(dt)
+        t = jnp.maximum(t, 0)
+        cls_out.append(jnp.einsum("bhwc,cm->bhwm", t, wc.astype(dt))
+                       + bc.astype(dt))
+        reg_out.append(jnp.einsum("bhwc,cm->bhwm", t, wg.astype(dt))
+                       + bg.astype(dt))
+    return tuple(cls_out), tuple(reg_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def rpn_fused(feats, weights, interpret=False):
+    """Fused RPN head over pyramid levels.
+
+    feats: tuple of P_l; weights: (wr [3,3,C,C], br, wc [C,ncls],
+    bc, wg [C,nreg], bg).  Returns (cls tuple, reg tuple).
+    """
+    wr, br, wc, bc, wg, bg = weights
+    dt = feats[0].dtype
+    cls_out, reg_out = [], []
+    for f in feats:
+        c, g = _rpn_level_pallas(
+            f, wr.astype(dt), br.astype(jnp.float32),
+            wc.astype(dt), bc.astype(jnp.float32),
+            wg.astype(dt), bg.astype(jnp.float32), interpret)
+        cls_out.append(c)
+        reg_out.append(g)
+    return tuple(cls_out), tuple(reg_out)
+
+
+def _rpn_fwd(feats, weights, interpret=False):
+    return rpn_fused(feats, weights, interpret), (feats, weights)
+
+
+def _rpn_bwd(interpret, res, g):
+    feats, weights = res
+    _, vjp = jax.vjp(rpn_ref, feats, weights)
+    return vjp(g)
+
+
+rpn_fused.defvjp(_rpn_fwd, _rpn_bwd)

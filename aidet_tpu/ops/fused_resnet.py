@@ -60,28 +60,35 @@ def bottleneck_chain_ref(x, w1, s1, b1, w2, s2, b2, w3, s3, b3):
     return x
 
 
+# left column margin for strip buffers: DMA column offsets must be
+# sublane-tile aligned (16 for bf16), so the image data lives at cols
+# [MARGIN, MARGIN + W) with >= kernel-halo zeros on both sides
+MARGIN = 16
+
+
 def load_strip(x_ref, b, s, S, T, k, W, xbuf, sem):
     """DMA rows [s*T - k, s*T + T + k) of image ``b`` of x_ref
-    [B, H, W, C] into ``xbuf`` [T+2k, >=W+2k, C] at column offset k,
-    zero-filling halo rows/cols that fall outside the image.  Shared by
-    the fused backbone/FPN/RPN strip kernels.  Synchronous (waits).
+    [B, H, W, C] into ``xbuf`` [T+2k, >=MARGIN+W+k, C] at column offset
+    MARGIN, zero-filling halo rows/cols that fall outside the image.
+    Shared by the fused backbone/FPN/RPN strip kernels.  Synchronous.
     """
     r0 = s * T
     Tk = T + 2 * k
+    L = MARGIN
     first = s == 0
     last = s == S - 1
 
-    # column pads (left k; right covers halo + lane round-up)
-    xbuf[:, :k] = jnp.zeros_like(xbuf[:, :k])
-    xbuf[:, k + W:] = jnp.zeros_like(xbuf[:, k + W:])
+    # column pads (left margin; right covers halo + lane round-up)
+    xbuf[:, :L] = jnp.zeros_like(xbuf[:, :L])
+    xbuf[:, L + W:] = jnp.zeros_like(xbuf[:, L + W:])
 
     @pl.when(first)
     def _():
-        xbuf[:k, k:k + W] = jnp.zeros_like(xbuf[:k, k:k + W])
+        xbuf[:k, L:L + W] = jnp.zeros_like(xbuf[:k, L:L + W])
 
     @pl.when(last)
     def _():
-        xbuf[k + T:, k:k + W] = jnp.zeros_like(xbuf[k + T:, k:k + W])
+        xbuf[k + T:, L:L + W] = jnp.zeros_like(xbuf[k + T:, L:L + W])
 
     # row range present in the image: [max(0, r0-k), min(H, r0+T+k));
     # branches are emitted only when the static grid lets them run (all
@@ -89,7 +96,7 @@ def load_strip(x_ref, b, s, S, T, k, W, xbuf, sem):
     if S == 1:
         cp = pltpu.make_async_copy(
             x_ref.at[b, pl.ds(0, T)],
-            xbuf.at[pl.ds(k, T), pl.ds(k, W)], sem)
+            xbuf.at[pl.ds(k, T), pl.ds(L, W)], sem)
         cp.start()
         cp.wait()
     else:
@@ -97,7 +104,7 @@ def load_strip(x_ref, b, s, S, T, k, W, xbuf, sem):
         def _():
             cp = pltpu.make_async_copy(
                 x_ref.at[b, pl.ds(0, T + k)],
-                xbuf.at[pl.ds(k, T + k), pl.ds(k, W)], sem)
+                xbuf.at[pl.ds(k, T + k), pl.ds(L, W)], sem)
             cp.start()
             cp.wait()
 
@@ -106,7 +113,7 @@ def load_strip(x_ref, b, s, S, T, k, W, xbuf, sem):
             def _():
                 cp = pltpu.make_async_copy(
                     x_ref.at[b, pl.ds(r0 - k, Tk)],
-                    xbuf.at[pl.ds(0, Tk), pl.ds(k, W)], sem)
+                    xbuf.at[pl.ds(0, Tk), pl.ds(L, W)], sem)
                 cp.start()
                 cp.wait()
 
@@ -114,7 +121,7 @@ def load_strip(x_ref, b, s, S, T, k, W, xbuf, sem):
         def _():
             cp = pltpu.make_async_copy(
                 x_ref.at[b, pl.ds(r0 - k, T + k)],
-                xbuf.at[pl.ds(0, T + k), pl.ds(k, W)], sem)
+                xbuf.at[pl.ds(0, T + k), pl.ds(L, W)], sem)
             cp.start()
             cp.wait()
 
@@ -126,13 +133,15 @@ def frontier_mask(s, S, T, k, W, Wp, dt):
     Tk = T + 2 * k
     first = s == 0
     last = s == S - 1
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Tk, Wp), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Tk, Wp), 1)
+    # build in 3D: inserting a minor dim on a 16-bit value is not a
+    # layout no-op and Mosaic rejects it
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Tk, Wp, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Tk, Wp, 1), 1)
     rmin = jnp.where(first, k, 0)
     rmax = jnp.where(last, k + T, Tk)
     mask = ((row_ids >= rmin) & (row_ids < rmax)
-            & (col_ids >= k) & (col_ids < k + W))
-    return mask.astype(dt)[..., None]
+            & (col_ids >= MARGIN) & (col_ids < MARGIN + W))
+    return mask.astype(dt)
 
 
 def _chain_kernel(k, T, W, Wp, H, n_chunk,
@@ -180,7 +189,7 @@ def _chain_kernel(k, T, W, Wp, H, n_chunk,
             xbuf[sl] = jnp.maximum(y3 + xbuf[sl], 0) * mask[sl]
 
     cp = pltpu.make_async_copy(
-        xbuf.at[pl.ds(k, T), pl.ds(k, W)],
+        xbuf.at[pl.ds(k, T), pl.ds(MARGIN, W)],
         out_ref.at[b, pl.ds(r0, T)], sem_out)
     cp.start()
     cp.wait()
@@ -198,7 +207,7 @@ def _chain_pallas(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
             strip -= 1
     T = strip
     assert H % T == 0, (H, T)
-    Wp = -((-(W + 2 * k)) // 8) * 8
+    Wp = -((-(MARGIN + W + k)) // 16) * 16
     S = H // T
     Tk = T + 2 * k
     n_chunk = 1

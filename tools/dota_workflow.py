@@ -35,6 +35,8 @@ def main():
     p.add_argument("--encode", default="thetaobb")
     p.add_argument("--total-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="scale config lr by n_devices/8 (train stage)")
     p.add_argument("--img-prefix", default=None,
                    help="patch image dir for the figures stage")
     args = p.parse_args()
@@ -49,6 +51,8 @@ def main():
             extra += ["--total-epochs", str(args.total_epochs)]
         if args.batch_size:
             extra += ["--batch-size", str(args.batch_size)]
+        if args.autoscale_lr:
+            extra += ["--autoscale-lr"]
         run("train.py", args.config, "--work-dir", work, *extra)
     if "test" in args.stages:
         run("test.py", args.config, "--checkpoint",

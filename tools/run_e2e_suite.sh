@@ -5,14 +5,19 @@
 set -u
 cd "$(dirname "$0")/.."
 GT=data/dota/val_patches_scene_gt_obb.json
-EPOCHS=${EPOCHS:-15}
+EPOCHS=${EPOCHS:-60}
+# persistent compile cache: re-runs of a config skip the ~25 min
+# remote train-step compile
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.5
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
 mkdir -p work_dirs
 for cfg in "$@"; do
   name=$(basename "$cfg" .py)
   echo "=== $name ==="
-  timeout 3600 python tools/dota_workflow.py "configs/$name.py" \
+  timeout 7200 python tools/dota_workflow.py "configs/$name.py" \
     --stages train test eval --gt-json "$GT" \
-    --total-epochs "$EPOCHS" \
+    --total-epochs "$EPOCHS" --autoscale-lr \
     >"work_dirs/${name}_e2e.log" 2>&1
   echo "=== $name exit=$? ==="
   tail -5 "work_dirs/${name}_e2e.log"
