@@ -74,9 +74,13 @@ def _fpn_kernel(has_up, write_m, T, W, Wp, n_chunk, *refs):
     load_strip(x_ref, b, s, S, T, 1, W, xbuf, sem_a)
     mask = frontier_mask(s, S, T, 1, W, Wp, dt)
 
-    lat = jax.lax.dot_general(
-        xbuf[:], wl[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bl[:]
+    C_in = xbuf.shape[2]
+    Co = mbuf.shape[2]
+    lat = (jax.lax.dot_general(
+        xbuf[:].reshape(Tk * Wp, C_in), wl[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bl[:]).reshape(
+            Tk, Wp, Co)
 
     if has_up:
         # merged-map rows floor((r0-1)/2)..floor((r0+T)/2) =
@@ -107,11 +111,13 @@ def _fpn_kernel(has_up, write_m, T, W, Wp, n_chunk, *refs):
         for dy in range(3):
             for dx in range(3):
                 t = jax.lax.dot_general(
-                    mp[a + 1 + dy:a + 1 + dy + rows, dx:dx + Wp],
-                    wp[dy, dx], (((2,), (0,)), ((), ())),
+                    mp[a + 1 + dy:a + 1 + dy + rows, dx:dx + Wp]
+                    .reshape(rows * Wp, Co),
+                    wp[dy, dx], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = t if acc is None else acc + t
-        pbuf[a:a + rows] = (acc + bp[:]).astype(dt)
+        pbuf[a:a + rows] = ((acc + bp[:]).astype(dt)
+                            .reshape(rows, Wp, Co))
 
     cp = pltpu.make_async_copy(
         pbuf.at[pl.ds(0, T), pl.ds(MARGIN, W)],
@@ -243,6 +249,7 @@ def _rpn_kernel(T, W, Wp, n_chunk, n_cls,
 
     load_strip(x_ref, pl.program_id(0), s, S, T, 1, W, xbuf, sem_a)
 
+    C = xbuf.shape[2]
     xp = jnp.pad(xbuf[:], ((1, 1), (1, 1), (0, 0)))
     rows = T // n_chunk
     for c in range(n_chunk):
@@ -251,14 +258,16 @@ def _rpn_kernel(T, W, Wp, n_chunk, n_cls,
         for dy in range(3):
             for dx in range(3):
                 t = jax.lax.dot_general(
-                    xp[a + 1 + dy:a + 1 + dy + rows, dx:dx + Wp],
-                    wr[dy, dx], (((2,), (0,)), ((), ())),
+                    xp[a + 1 + dy:a + 1 + dy + rows, dx:dx + Wp]
+                    .reshape(rows * Wp, C),
+                    wr[dy, dx], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = t if acc is None else acc + t
         t = jnp.maximum(acc + br[:], 0).astype(dt)
-        og = jax.lax.dot_general(
-            t, wcg[:], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bcg[:]
+        og = (jax.lax.dot_general(
+            t, wcg[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bcg[:]).reshape(rows, Wp, -1)
         # narrow (3/12-lane) outputs ride Pallas-managed blocked
         # out_specs — a manual DMA would need 128-aligned lane sizes
         og = og[:, MARGIN:MARGIN + W]

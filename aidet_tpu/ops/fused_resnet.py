@@ -144,15 +144,27 @@ def frontier_mask(s, S, T, k, W, Wp, dt):
     return mask.astype(dt)
 
 
-def _chain_kernel(k, T, W, Wp, H, n_chunk,
+def _chunks(total, rows):
+    """Static (start, size) row chunks covering [0, total)."""
+    out = []
+    a = 0
+    while a < total:
+        out.append((a, min(rows, total - a)))
+        a += rows
+    return out
+
+
+def _chain_kernel(k, T, W, Wp, H, rA, rC,
                   x_ref, w1, s1, b1, w2, s2, b2, w3, s3, b3,
-                  out_ref, xbuf, sem_in, sem_out):
+                  out_ref, xbuf, y1buf, y2buf, sem_in, sem_out):
     b = pl.program_id(0)
     s = pl.program_id(1)
     S = pl.num_programs(1)
     r0 = s * T
     Tk = T + 2 * k
     dt = xbuf.dtype
+    C = xbuf.shape[2]
+    Cm = y1buf.shape[2]
 
     load_strip(x_ref, b, s, S, T, k, W, xbuf, sem_in)
 
@@ -161,32 +173,43 @@ def _chain_kernel(k, T, W, Wp, H, n_chunk,
     mask = frontier_mask(s, S, T, k, W, Wp, dt)
 
     # ---- k fused bottlenecks on the fixed [Tk, Wp] buffer -----------
+    # every phase is row-chunked with 2D matmuls (Wp % 16 == 0 keeps
+    # the [rows, Wp, C] -> [rows*Wp, C] collapse a layout no-op) so the
+    # f32 transients stay small and strips can be large
     for j in range(k):
-        cur = xbuf[:]                                      # [Tk, Wp, C]
-        y1 = jax.lax.dot_general(
-            cur, w1[j], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y1 = (jnp.maximum(y1 * s1[j] + b1[j], 0).astype(dt)
-              * mask)                                       # [Tk,Wp,Cm]
-        y1p = jnp.pad(y1, ((1, 1), (1, 1), (0, 0)))
-        acc = None
-        for dy in range(3):
-            for dx in range(3):
-                t = jax.lax.dot_general(
-                    y1p[dy:dy + Tk, dx:dx + Wp], w2[j, dy, dx],
-                    (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc = t if acc is None else acc + t
-        y2 = jnp.maximum(acc * s2[j] + b2[j], 0).astype(dt)  # [Tk,Wp,Cm]
-        # final 1x1 + residual + relu, row-chunked to bound f32 spill
-        rows = Tk // n_chunk
-        for c in range(n_chunk):
-            sl = slice(c * rows, (c + 1) * rows)
-            y3 = jax.lax.dot_general(
-                y2[sl], w3[j], (((2,), (0,)), ((), ())),
+        for a, r in _chunks(Tk, rA):
+            y = jax.lax.dot_general(
+                xbuf[a:a + r].reshape(r * Wp, C), w1[j],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            y3 = (y3 * s3[j] + b3[j]).astype(dt)
-            xbuf[sl] = jnp.maximum(y3 + xbuf[sl], 0) * mask[sl]
+            y = jnp.maximum(y * s1[j] + b1[j], 0).astype(dt)
+            y1buf[a:a + r] = y.reshape(r, Wp, Cm) * mask[a:a + r]
+        for a, r in _chunks(Tk, rA):
+            # 3x3 over y1 rows [a-1, a+r+1), zero row-pad at the strip
+            # buffer edges, zero col-pad via the (1, 1) pad
+            lo = max(a - 1, 0)
+            hi = min(a + r + 1, Tk)
+            yc = jnp.pad(y1buf[lo:hi],
+                         ((1 - (a - lo), 1 - (hi - a - r)),
+                          (1, 1), (0, 0)))
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = jax.lax.dot_general(
+                        yc[dy:dy + r, dx:dx + Wp].reshape(r * Wp, Cm),
+                        w2[j, dy, dx], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = t if acc is None else acc + t
+            y2 = jnp.maximum(acc * s2[j] + b2[j], 0).astype(dt)
+            y2buf[a:a + r] = y2.reshape(r, Wp, Cm)
+        for a, r in _chunks(Tk, rC):
+            y3 = jax.lax.dot_general(
+                y2buf[a:a + r].reshape(r * Wp, Cm), w3[j],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y3 = (y3 * s3[j] + b3[j]).astype(dt).reshape(r, Wp, C)
+            xbuf[a:a + r] = (jnp.maximum(y3 + xbuf[a:a + r], 0)
+                             * mask[a:a + r])
 
     cp = pltpu.make_async_copy(
         xbuf.at[pl.ds(k, T), pl.ds(MARGIN, W)],
@@ -200,20 +223,19 @@ def _chain_pallas(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
     B, H, W, C = x.shape
     k = w1.shape[0]
     Cm = w1.shape[2]
+    Wp = -((-(MARGIN + W + k)) // 16) * 16
     if strip is None:
-        # VMEM budget: xbuf [T+2k, Wp, C] bf16 + f32 transients ~3x Cm
-        strip = max(8, min(H, (3 << 20) // ((W + 2 * k) * C * 2)))
+        # VMEM budget: xbuf + y1buf + y2buf in bf16 ~<= 10M
+        strip = max(8, min(H, (10 << 20) // (Wp * (C + 2 * Cm) * 2)))
         while H % strip:
             strip -= 1
     T = strip
     assert H % T == 0, (H, T)
-    Wp = -((-(MARGIN + W + k)) // 16) * 16
     S = H // T
     Tk = T + 2 * k
-    n_chunk = 1
-    while (Tk % (n_chunk * 2) == 0
-           and (Tk // n_chunk) * Wp * C * 4 > (2 << 20)):
-        n_chunk *= 2
+    # f32 transient budget ~1.5M per phase
+    rA = max(1, (3 << 19) // (Wp * Cm * 4))
+    rC = max(1, (3 << 19) // (Wp * C * 4))
 
     grid_spec = pl.GridSpec(
         grid=(B, S),
@@ -222,12 +244,14 @@ def _chain_pallas(x, w1, s1, b1, w2, s2, b2, w3, s3, b3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((Tk, Wp, C), x.dtype),
+            pltpu.VMEM((Tk, Wp, Cm), x.dtype),
+            pltpu.VMEM((Tk, Wp, Cm), x.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_chain_kernel, k, T, W, Wp, H, n_chunk),
+        functools.partial(_chain_kernel, k, T, W, Wp, H, rA, rC),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
