@@ -93,9 +93,10 @@ def gather_results(results: list, num_shards: int, shard_id: int,
       results: this process's list of per-image dicts.
       total: dataset length.
       allgather: array → [num_shards, ...] stacked across processes;
-        defaults to ``multihost_utils.process_allgather`` (injectable
-        for single-host tests — this jaxlib build has no CPU
-        cross-process collectives to exercise the real one locally).
+        defaults to ``multihost_utils.process_allgather`` (the real
+        path is exercised by a 2-process Gloo CPU cluster in
+        tests/test_dist.py::test_gather_results_two_process_gloo;
+        injectable for in-process tests).
       example: template dict (key → array) giving the per-image result
         spec. Required when this process's shard may be EMPTY
         (num_shards > dataset length): the collective's key set and

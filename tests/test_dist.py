@@ -1,12 +1,17 @@
 """Multi-host runtime tests (parity: mmdet init_dist +
 DistributedGroupSampler + collect_results, SURVEY §2.3/§2.4).
 
-Real cross-process collectives need a gloo-enabled jaxlib; here the
-single-host pieces are exercised on the 8-device CPU mesh and the
-gather logic with an injected allgather.
+Single-host pieces run on the 8-device CPU mesh with an injected
+allgather; test_gather_results_two_process_gloo additionally spawns
+TWO real processes over jax.distributed (this jaxlib ships Gloo CPU
+collectives) and runs the real process_allgather path.
 """
 
 import functools
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +117,40 @@ def test_gather_results_empty_shard_uses_example():
     import pytest
     with pytest.raises(ValueError, match="example"):
         gather_results([], num_shards, 1, total, allgather=ag_for(1))
+
+
+def test_gather_results_two_process_gloo():
+    """REAL 2-process gather: spawn two jax.distributed CPU processes
+    (Gloo collectives) running the default process_allgather path of
+    gather_results — ordering, short-shard padding and the empty-shard
+    template all over the actual collective."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   p for p in (repo_root, os.environ.get("PYTHONPATH"))
+                   if p))
+    env.pop("XLA_FLAGS", None)  # no forced 8-device host count
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"worker {pid} OK" in out, out
 
 
 def test_sharded_inference_matches_single(tmp_path):
