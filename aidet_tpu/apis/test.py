@@ -17,7 +17,8 @@ from ..data.pipeline import TestPipeline
 
 def run_inference(model, variables, dataset, batch_size: int = 8,
                   img_size: int | None = None, progress=None,
-                  mesh=None, num_shards: int = 1, shard_id: int = 0):
+                  mesh=None, num_shards: int = 1, shard_id: int = 0,
+                  pipeline_cfg: dict | None = None):
     """Run the jitted predict path over a dataset.
 
     Multi-chip/multi-host (parity: multi_gpu_test + collect_results,
@@ -29,8 +30,12 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
     Returns (results, names): results is a list of per-image dicts
     (boxes/scores/labels/valid [+rboxes/masks]), names the file names.
     """
-    pipe = TestPipeline(img_size=img_size
-                        or getattr(model, "img_size", 1024))
+    # pipeline_cfg: the config's ``test_pipeline`` dict (mean/std/
+    # to_rgb for the caffe/rgb normalisation variants)
+    pcfg = dict(pipeline_cfg or {})
+    pcfg.setdefault("img_size", img_size
+                    or getattr(model, "img_size", 1024))
+    pipe = TestPipeline(**pcfg)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_dev = mesh.devices.size

@@ -77,9 +77,16 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
     iters_per_epoch = max(len(loader), 1)
     opt_cfg = cfg.get("optimizer", {})
     lr_cfg = cfg.get("lr_config", {})
+    total_epochs = cfg.get("total_epochs", 12)
+    # warmup_iters=500 assumes epoch-scale datasets (reference
+    # lr_config); on tiny runs (total iters ~ warmup) the ramp would
+    # swallow the whole schedule and multiply into the step decay --
+    # cap it at 20% of the run.
+    warmup_iters = min(int(lr_cfg.get("warmup_iters", 500)),
+                       max(1, iters_per_epoch * total_epochs // 5))
     schedule = build_lr_schedule(
         base_lr=opt_cfg.get("lr", 0.02),
-        warmup_iters=lr_cfg.get("warmup_iters", 500),
+        warmup_iters=warmup_iters,
         warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
         decay_steps=lr_cfg.get("step", (8, 11)),
         iters_per_epoch=iters_per_epoch)

@@ -85,7 +85,8 @@ def pointobb2pseudomask(pointobb, out_hw, template_size: int = 512,
 
 def pointobbs2centermap(pointobbs, out_hw, mask_size: int | None = None,
                         factor: float = 4.0, rate: float = 0.0,
-                        kind: str = "centerness"):
+                        kind: str = "centerness",
+                        template_size: int = 512):
     """Per-instance centermaps (or weight maps) for all quads of an image.
 
     Args:
@@ -106,7 +107,8 @@ def pointobbs2centermap(pointobbs, out_hw, mask_size: int | None = None,
     out = np.zeros((len(pointobbs), h, w), np.float32)
     for i, p in enumerate(pointobbs):
         out[i] = pointobb2pseudomask(p, (h, w), factor=factor,
-                                     rate=rate, kind=kind)
+                                     rate=rate, kind=kind,
+                                     template_size=template_size)
     return out
 
 

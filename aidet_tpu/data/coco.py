@@ -19,10 +19,15 @@ class CocoDataset:
 
     def __init__(self, ann_file: str, img_prefix: str = "",
                  filter_empty: bool = True, min_size: int = 32,
+                 min_area: float = 0, max_small_length: float = 0,
                  test_mode: bool = False):
+        # min_area / max_small_length: drop tiny instances (reference
+        # dota.py:47-48,118 — the `exclude_small` config family)
         self.ann_file = ann_file
         self.img_prefix = img_prefix
         self.test_mode = test_mode
+        self.min_area = min_area
+        self.max_small_length = max_small_length
         with open(ann_file) as f:
             coco = json.load(f)
 
@@ -71,6 +76,9 @@ class CocoDataset:
         for a in anns:
             x, y, w, h = a["bbox"]
             if a.get("area", w * h) <= 0 or w < 1 or h < 1:
+                continue
+            if (a.get("area", w * h) <= self.min_area
+                    or max(w, h) < self.max_small_length):
                 continue
             box = [x, y, x + w - 1, y + h - 1]
             if a.get("iscrowd", 0) or a.get("ignore", 0):

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import rboxes as R
+from . import transforms as T
 
 IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
@@ -50,7 +51,8 @@ class TrainPipeline:
     """load → resize → flip → normalize → pad → fixed-gt pack."""
 
     def __init__(self, img_size: int = 1024, max_gt: int = 256,
-                 flip_ratio: float = 0.5, with_rbox: bool = True,
+                 flip_ratio: float = 0.5, rotate90_ratio: float = 0.0,
+                 with_rbox: bool = True,
                  rbox_encode: str = "thetaobb",
                  with_mask: bool = False, mask_size: int = 0,
                  mask_type: str = "binary",
@@ -58,11 +60,14 @@ class TrainPipeline:
                  with_reverse_mask_weight: bool = False,
                  with_semantic: bool = False,
                  with_heatmap_weight: bool = False,
+                 reverse_heatmap_weight: bool = False,
                  centermap_rate: float = 0.5,
                  centermap_factor: float = 4.0,
+                 centermap_template: int = 512,
                  seg_scale: int = 4,
                  scale_range=None, albu=None,
-                 mean=IMAGENET_MEAN, std=IMAGENET_STD, seed: int = 0):
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                 to_rgb: bool = True, seed: int = 0):
         """mask_type: 'binary' (Mask R-CNN / MaskOBB) or 'centermap'
         (soft centerness pseudo-masks, loading.py:160-178).
 
@@ -89,6 +94,7 @@ class TrainPipeline:
         self.img_size = img_size
         self.max_gt = max_gt
         self.flip_ratio = flip_ratio
+        self.rotate90_ratio = rotate90_ratio
         self.with_rbox = with_rbox
         self.rbox_encode = rbox_encode
         self.with_mask = with_mask
@@ -98,10 +104,20 @@ class TrainPipeline:
         self.with_reverse_mask_weight = with_reverse_mask_weight
         self.with_semantic = with_semantic
         self.with_heatmap_weight = with_heatmap_weight
+        # reversed scene weight for the semantic branch (the
+        # reference's offline 'reverse_heatmap_weight/' image dir,
+        # configs/dota/centermap_net_tgrs_mask_weight_reverse_seg_weight_V4.py:202)
+        self.reverse_heatmap_weight = reverse_heatmap_weight
         self.centermap_rate = centermap_rate
         self.centermap_factor = centermap_factor
+        # reference loading.py:97 anchor_centermap_scale (the
+        # '1024_1024_anchor' config variant renders the centerness
+        # template at the full patch resolution)
+        self.centermap_template = centermap_template
         self.seg_scale = seg_scale
-        self.mean, self.std = mean, std
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
         # optional albumentations stage (transforms.py:865 Albu);
         # raises at construction if the package is missing
         self.albu = None
@@ -143,6 +159,18 @@ class TrainPipeline:
         if pointobbs is not None and len(pointobbs):
             pointobbs = pointobbs * scale
 
+        # 90-degree-multiple rotation (reference RandomRotate with
+        # choice=(0, 90, 180, 270), the `_rotation`/`_rotate` config
+        # family). Applied before mask/semantic synthesis, which is
+        # painted from the rotated pointobbs downstream.
+        if self.rotate90_ratio and self.rng.rand() < self.rotate90_ratio:
+            img, rp, rb, _ = T.random_rotate90(
+                img, pointobbs, boxes, rng=self.rng)
+            # the helper returns None for empty/absent inputs — keep
+            # the original (empty) arrays so downstream shapes hold
+            boxes = rb if rb is not None else boxes
+            pointobbs = rp if rp is not None else pointobbs
+
         flip = self.rng.rand() < self.flip_ratio
         h, w = img.shape[:2]
         if flip:
@@ -155,7 +183,7 @@ class TrainPipeline:
                 pointobbs = np.asarray(
                     R.pointobb_flip(jnp.asarray(pointobbs), (h, w)))
 
-        img = normalize_image(img, self.mean, self.std)
+        img = normalize_image(img, self.mean, self.std, self.to_rgb)
         padded = np.zeros((size, size, img.shape[-1]), np.float32)
         padded[:h, :w] = img
 
@@ -199,7 +227,8 @@ class TrainPipeline:
                         np.asarray(pointobbs[:n]), (self.img_size,
                                                     self.img_size),
                         mask_size=ms, factor=self.centermap_factor,
-                        rate=self.centermap_rate)
+                        rate=self.centermap_rate,
+                        template_size=self.centermap_template)
                 else:
                     masks[:n] = rasterize_polygons(
                         pointobbs[:n], (self.img_size, self.img_size), ms)
@@ -214,7 +243,8 @@ class TrainPipeline:
                 weights[:n] = pointobbs2centermap(
                     np.asarray(pointobbs[:n]),
                     (self.img_size, self.img_size), mask_size=ms,
-                    factor=self.centermap_factor, kind=kind)
+                    factor=self.centermap_factor, kind=kind,
+                    template_size=self.centermap_template)
             sample["gt_mask_weights"] = weights
 
         if self.with_semantic or self.with_heatmap_weight:
@@ -229,9 +259,12 @@ class TrainPipeline:
                     (self.img_size, self.img_size), out_size,
                     valid_hw=(h, w))
             if self.with_heatmap_weight:
-                sample["gt_seg_weights"] = heatmap_weight(
+                hw_map = heatmap_weight(
                     quads, (self.img_size, self.img_size), out_size,
                     factor=self.centermap_factor)
+                if self.reverse_heatmap_weight:
+                    hw_map = 1.0 - hw_map
+                sample["gt_seg_weights"] = hw_map
         return sample
 
 
@@ -239,9 +272,12 @@ class TestPipeline:
     __test__ = False  # not a pytest class
 
     def __init__(self, img_size: int = 1024,
-                 mean=IMAGENET_MEAN, std=IMAGENET_STD):
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                 to_rgb: bool = True):
         self.img_size = img_size
-        self.mean, self.std = mean, std
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
 
     def __call__(self, img):
         size = self.img_size
@@ -250,9 +286,10 @@ class TestPipeline:
         if img.dtype == np.uint8 and img.shape[-1] == 3:
             # fused native BGR→RGB + normalise + pad (single pass)
             from ..native import normalize_pad
-            padded = normalize_pad(img, (size, size), self.mean, self.std)
+            padded = normalize_pad(img, (size, size), self.mean,
+                                   self.std, self.to_rgb)
         else:
-            x = normalize_image(img, self.mean, self.std)
+            x = normalize_image(img, self.mean, self.std, self.to_rgb)
             padded = np.zeros((size, size, img.shape[-1]), np.float32)
             padded[:h, :w] = x
         return dict(imgs=padded,

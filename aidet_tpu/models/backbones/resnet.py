@@ -93,23 +93,28 @@ class Bottleneck(nn.Module):
     # deformable 3x3 (configs/dcn family): dict like
     # dict(modulated=False) — None keeps the plain conv
     dcn: dict | None = None
+    # 'pytorch': spatial stride on the 3x3; 'caffe': stride on the
+    # first 1x1 (reference resnet.py Bottleneck conv1_stride/
+    # conv2_stride switch, the r50_caffe config family)
+    style: str = "pytorch"
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = conv(self.planes, 1, 1, 1, "conv1", self.dtype)(x)
+        s1, s2 = ((self.stride, 1) if self.style == "caffe"
+                  else (1, self.stride))
+        out = conv(self.planes, 1, s1, 1, "conv1", self.dtype)(x)
         out = FrozenBN(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        # pytorch style: spatial stride on the 3x3 (resnet.py Bottleneck)
         if self.dcn is not None:
             from ...ops.deform_conv import DeformConv2d
             out = DeformConv2d(
                 features=self.planes, kernel_size=3,
-                stride=self.stride, padding=self.dilation,
+                stride=s2, padding=self.dilation,
                 dilation=self.dilation, dtype=self.dtype,
                 name="conv2", **dict(self.dcn))(out)
         else:
-            out = conv(self.planes, 3, self.stride, self.dilation,
+            out = conv(self.planes, 3, s2, self.dilation,
                        "conv2", self.dtype)(out)
         out = FrozenBN(dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
@@ -282,6 +287,8 @@ class ResNet(nn.Module):
                 extra = {}
                 if self.dcn is not None and self.stage_with_dcn[i]:
                     extra["dcn"] = self.dcn
+                if block_cls is Bottleneck:
+                    extra["style"] = self.style
                 x = block_cls(
                     planes=planes, stride=stride,
                     dilation=self.dilations[i],

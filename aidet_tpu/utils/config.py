@@ -31,8 +31,30 @@ def _wrap(obj):
     return obj
 
 
+def _merge_dicts(base: dict, override: dict) -> dict:
+    """Recursive override merge (mmcv Config._merge_a_into_b parity):
+    dict values merge key-by-key; anything else replaces.  A dict
+    override carrying ``_delete_: True`` replaces the base dict
+    wholesale instead of merging."""
+    out = dict(base)
+    for k, v in override.items():
+        if (isinstance(v, dict) and isinstance(out.get(k), dict)
+                and not v.get("_delete_")):
+            out[k] = _merge_dicts(out[k], v)
+        else:
+            if isinstance(v, dict):
+                v = {kk: vv for kk, vv in v.items() if kk != "_delete_"}
+            out[k] = v
+    return out
+
+
 class Config:
-    """cfg = Config.fromfile('configs/faster_rcnn_r50_fpn.py')"""
+    """cfg = Config.fromfile('configs/faster_rcnn_r50_fpn.py')
+
+    A config file may set ``_base_`` to a path (or list of paths,
+    relative to itself); base configs load first and the file's own
+    variables override them with a recursive dict merge — variant
+    configs then only state their deltas."""
 
     def __init__(self, cfg_dict: dict, filename: str | None = None):
         self._cfg = _wrap(cfg_dict)
@@ -45,8 +67,17 @@ class Config:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         cfg = {k: v for k, v in vars(mod).items()
-               if not k.startswith("__") and not callable(v)
+               if not k.startswith("__") and k != "_base_"
+               and not callable(v)
                and not isinstance(v, type(importlib))}
+        base = getattr(mod, "_base_", None)
+        if base:
+            merged: dict = {}
+            for b in ([base] if isinstance(base, str) else base):
+                bpath = os.path.join(os.path.dirname(path), b)
+                merged = _merge_dicts(merged,
+                                      cls.fromfile(bpath).to_dict())
+            cfg = _merge_dicts(merged, cfg)
         return cls(cfg, path)
 
     def __getattr__(self, k):

@@ -38,8 +38,8 @@ data = dict(
 train_pipeline = dict(img_size=1024, max_gt=256, flip_ratio=0.5,
                       with_rbox=True, with_mask=True,
                       mask_type="centermap", with_mask_weight=True,
-                      with_reverse_mask_weight=True,
-                      with_semantic=True, with_heatmap_weight=True)
+                      with_semantic=True, with_heatmap_weight=True,
+                      reverse_heatmap_weight=True)
 optimizer = dict(lr=0.02, momentum=0.9, weight_decay=1e-4,
                  grad_clip_norm=35.0)
 lr_config = dict(warmup_iters=500, warmup_ratio=1.0 / 3, step=(8, 11))

@@ -1,0 +1,3 @@
+# R101 backbone (parity: reference configs/dota/centermap_obb_r101_fpn_1x_dota_mask_weight.py backbone axis)
+_base_ = "dota_centermap_obb_r50_fpn_1x.py"
+model = dict(backbone=dict(depth=101))

@@ -181,3 +181,39 @@ def test_resnet_basicblock_dcn_is_loud():
     with pytest.raises(ValueError, match="dcn"):
         jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0),
                                       jnp.ones((1, 32, 32, 3))))
+
+
+def test_resnet_caffe_style_stride_placement():
+    """style='caffe' puts the spatial stride on the first 1x1 instead
+    of the 3x3 (reference resnet.py conv1_stride switch, the
+    r50_caffe configs).  Same output shapes, different param layout is
+    NOT observable from shape -- so check the downsampling actually
+    happens inside conv1 by probing the intermediate."""
+    import jax
+    import jax.numpy as jnp
+    from aidet_tpu.models.backbones.resnet import Bottleneck, ResNet
+
+    x = jnp.ones((1, 64, 64, 3))
+    for style in ("pytorch", "caffe"):
+        m = ResNet(depth=50, style=style, frozen_stages=-1)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        outs = jax.jit(m.apply)(v, x)
+        assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+        assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+    # unit check on one strided block: caffe conv1 output is already
+    # spatially halved, pytorch conv1 output is full-res
+    feat = jnp.ones((1, 16, 16, 256))
+    for style, expect in (("pytorch", 16), ("caffe", 8)):
+        blk = Bottleneck(planes=128, stride=2, style=style,
+                         downsample=True)
+        bv = blk.init(jax.random.PRNGKey(0), feat)
+        _, inter = blk.apply(bv, feat, capture_intermediates=True)
+        flat = {"/".join(k): val for k, val in
+                __import__("flax").traverse_util.flatten_dict(
+                    inter["intermediates"]).items()}
+        conv1_out = [val for k, val in flat.items()
+                     if "conv1" in k and "__call__" in k][0]
+        if isinstance(conv1_out, tuple):  # flax stores (out,) tuples
+            conv1_out = conv1_out[0]
+        assert conv1_out.shape[1] == expect, (style, conv1_out.shape)

@@ -246,3 +246,54 @@ def test_centermap_net_trains_from_pipeline_targets():
     assert "loss_seg" in losses and "loss_mask" in losses
     for k, v in losses.items():
         assert bool(jnp.isfinite(v)), (k, v)
+
+
+def test_train_pipeline_rotate90_keeps_geometry():
+    """rotate90_ratio=1.0: boxes stay consistent with the rotated
+    image content (reference RandomRotate, the '_rotation' configs)."""
+    img = np.zeros((128, 128, 3), np.uint8)
+    img[10:40, 20:80] = 255  # one bright block
+    anns = dict(bboxes=np.asarray([[20, 10, 79, 39]], np.float32),
+                labels=np.asarray([1], np.int32),
+                pointobbs=np.asarray(
+                    [[20, 10, 79, 10, 79, 39, 20, 39]], np.float32),
+                bboxes_ignore=np.zeros((0, 4), np.float32),
+                segmentations=[None])
+    pipe = TrainPipeline(img_size=128, max_gt=4, flip_ratio=0.0,
+                         rotate90_ratio=1.0, with_rbox=True, seed=3)
+    s = pipe(img, anns)
+    assert s["gt_valid"].sum() == 1
+    x0, y0, x1, y1 = s["gt_boxes"][0]
+    # the bright region (positive after normalisation; background is
+    # negative) must sit inside the box
+    ys, xs = np.nonzero(s["imgs"].sum(-1) > 0)
+    if len(xs):  # rotation may be k=0 depending on seed; geometry must match
+        assert x0 - 1 <= xs.min() and xs.max() <= x1 + 1
+        assert y0 - 1 <= ys.min() and ys.max() <= y1 + 1
+
+
+def test_coco_dataset_exclude_small(tmp_path):
+    """min_area / max_small_length filtering (reference dota.py:47-48,
+    the exclude_small config)."""
+    import json
+
+    from aidet_tpu.data.coco import CocoDataset
+    ann = dict(
+        images=[dict(id=1, file_name="a.png", width=128, height=128)],
+        annotations=[
+            dict(id=1, image_id=1, category_id=1, iscrowd=0,
+                 bbox=[4, 4, 8, 8], area=64),       # small: filtered
+            dict(id=2, image_id=1, category_id=1, iscrowd=0,
+                 bbox=[20, 20, 40, 40], area=1600),  # kept
+        ],
+        categories=[dict(id=1, name="thing")])
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    ds = CocoDataset(ann_file=str(p), min_area=80, max_small_length=12,
+                     filter_empty=False)
+    out = ds.parse_anns(0)
+    assert len(out["bboxes"]) == 1
+    assert out["bboxes"][0][0] == 20
+    # without the filter both survive
+    ds2 = CocoDataset(ann_file=str(p), filter_empty=False)
+    assert len(ds2.parse_anns(0)["bboxes"]) == 2

@@ -57,7 +57,8 @@ def main():
     results, names = run_inference(
         model, variables, dataset, batch_size=args.batch_size,
         mesh=mesh, num_shards=jax.process_count(),
-        shard_id=jax.process_index())
+        shard_id=jax.process_index(),
+        pipeline_cfg=cfg.get("test_pipeline"))
     logger.info("ran inference on %d images", len(results))
     if args.out:
         with open(args.out, "wb") as f:

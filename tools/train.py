@@ -52,8 +52,28 @@ def main():
     run_cfg.setdefault("lr_config", cfg.get("lr_config", {}))
     if args.total_epochs:
         run_cfg["total_epochs"] = args.total_epochs
+        # A config's lr step schedule is written for its own
+        # total_epochs (e.g. 1x = steps (8, 11) of 12).  When the CLI
+        # stretches/shrinks the run, scale the decay epochs by the
+        # same ratio (the mmdet 1x->2x convention applied
+        # automatically) so long runs don't spend 80% of their epochs
+        # at the post-decay lr.
+        cfg_epochs = cfg.get("total_epochs", 12)
+        if args.total_epochs != cfg_epochs:
+            lrc = dict(run_cfg.get("lr_config") or {})
+            ratio = args.total_epochs / cfg_epochs
+            steps = tuple(max(1, round(s * ratio))
+                          for s in lrc.get("step", (8, 11)))
+            lrc["step"] = steps
+            run_cfg["lr_config"] = lrc
+            logger.info("total-epochs %d (config %d): lr steps -> %s",
+                        args.total_epochs, cfg_epochs, steps)
     if args.batch_size:
         run_cfg["batch_size"] = args.batch_size
+    elif cfg.get("batch_size"):
+        # config-level global batch (imgs_per_gpu * gpus in the
+        # reference's terms); CLI flag wins
+        run_cfg.setdefault("batch_size", cfg["batch_size"])
     if args.n_devices:
         run_cfg["n_devices"] = args.n_devices
     run_cfg.setdefault("total_epochs", cfg.get("total_epochs", 12))
