@@ -51,8 +51,25 @@ class FrozenBN(nn.Module):
         return x.astype(self.dtype) * eff_scale + eff_bias
 
 
-def conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
+def make_norm(norm_cfg, dtype, name):
+    """Norm factory: FrozenBN by default; GroupNorm when
+    norm_cfg=dict(type='GN', num_groups=N) (reference configs/gn,
+    norm_cfg plumbing in resnet.py build_norm_layer)."""
+    if norm_cfg and norm_cfg.get("type") == "GN":
+        return nn.GroupNorm(num_groups=norm_cfg.get("num_groups", 32),
+                            epsilon=1e-5, dtype=dtype, name=name)
+    return FrozenBN(dtype=dtype, name=name)
+
+
+def conv(features, kernel, stride=1, dilation=1, name=None,
+         dtype=jnp.float32, conv_cfg=None):
     pad = dilation * (kernel - 1) // 2
+    if conv_cfg and conv_cfg.get("type") == "ConvWS":
+        # weight-standardised conv (reference conv_ws.py, configs/gn+ws)
+        from ..plugins import ConvWS
+        return ConvWS(features, kernel, stride, padding=pad,
+                      dilation=dilation, use_bias=False,
+                      dtype=dtype, name=name)
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)],
                    kernel_dilation=(dilation, dilation), use_bias=False,
@@ -66,20 +83,24 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
     expansion: int = 1
+    norm_cfg: dict | None = None
+    conv_cfg: dict | None = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = conv(self.planes, 3, self.stride, self.dilation,
-                   "conv1", self.dtype)(x)
-        out = FrozenBN(dtype=self.dtype, name="bn1")(out)
+                   "conv1", self.dtype, self.conv_cfg)(x)
+        out = make_norm(self.norm_cfg, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, 1, self.dilation, "conv2", self.dtype)(out)
-        out = FrozenBN(dtype=self.dtype, name="bn2")(out)
+        out = conv(self.planes, 3, 1, self.dilation, "conv2",
+                   self.dtype, self.conv_cfg)(out)
+        out = make_norm(self.norm_cfg, self.dtype, "bn2")(out)
         if self.downsample:
             identity = conv(self.planes, 1, self.stride, 1,
-                            "ds_conv", self.dtype)(x)
-            identity = FrozenBN(dtype=self.dtype, name="ds_bn")(identity)
+                            "ds_conv", self.dtype, self.conv_cfg)(x)
+            identity = make_norm(self.norm_cfg, self.dtype,
+                                 "ds_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -97,14 +118,20 @@ class Bottleneck(nn.Module):
     # first 1x1 (reference resnet.py Bottleneck conv1_stride/
     # conv2_stride switch, the r50_caffe config family)
     style: str = "pytorch"
+    # GCNet global-context block after bn3, before the residual add
+    # (reference resnet.py:182-222, configs/gcnet): ContextBlock kwargs
+    gcb: dict | None = None
+    norm_cfg: dict | None = None
+    conv_cfg: dict | None = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
         s1, s2 = ((self.stride, 1) if self.style == "caffe"
                   else (1, self.stride))
-        out = conv(self.planes, 1, s1, 1, "conv1", self.dtype)(x)
-        out = FrozenBN(dtype=self.dtype, name="bn1")(out)
+        out = conv(self.planes, 1, s1, 1, "conv1", self.dtype,
+                   self.conv_cfg)(x)
+        out = make_norm(self.norm_cfg, self.dtype, "bn1")(out)
         out = nn.relu(out)
         if self.dcn is not None:
             from ...ops.deform_conv import DeformConv2d
@@ -115,15 +142,21 @@ class Bottleneck(nn.Module):
                 name="conv2", **dict(self.dcn))(out)
         else:
             out = conv(self.planes, 3, s2, self.dilation,
-                       "conv2", self.dtype)(out)
-        out = FrozenBN(dtype=self.dtype, name="bn2")(out)
+                       "conv2", self.dtype, self.conv_cfg)(out)
+        out = make_norm(self.norm_cfg, self.dtype, "bn2")(out)
         out = nn.relu(out)
-        out = conv(self.planes * 4, 1, 1, 1, "conv3", self.dtype)(out)
-        out = FrozenBN(dtype=self.dtype, name="bn3")(out)
+        out = conv(self.planes * 4, 1, 1, 1, "conv3", self.dtype,
+                   self.conv_cfg)(out)
+        out = make_norm(self.norm_cfg, self.dtype, "bn3")(out)
+        if self.gcb is not None:
+            from ..plugins import ContextBlock
+            out = ContextBlock(dtype=self.dtype, name="context_block",
+                               **dict(self.gcb))(out)
         if self.downsample:
             identity = conv(self.planes * 4, 1, self.stride, 1,
-                            "ds_conv", self.dtype)(x)
-            identity = FrozenBN(dtype=self.dtype, name="ds_bn")(identity)
+                            "ds_conv", self.dtype, self.conv_cfg)(x)
+            identity = make_norm(self.norm_cfg, self.dtype,
+                                 "ds_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -203,6 +236,14 @@ class ResNet(nn.Module):
     # configs/dcn family): dcn=dict(modulated=True) selects DCNv2
     dcn: dict | None = None
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    # GCNet context blocks (configs/gcnet): gcb=dict(ratio=1/4.)
+    gcb: dict | None = None
+    stage_with_gcb: Sequence[bool] = (False, False, False, False)
+    # norm_cfg=dict(type='GN', num_groups=32) swaps FrozenBN for
+    # GroupNorm everywhere (configs/gn); conv_cfg=dict(type='ConvWS')
+    # swaps convs for weight-standardised convs (configs/gn+ws)
+    norm_cfg: dict | None = None
+    conv_cfg: dict | None = None
     dtype: jnp.dtype = jnp.float32
     # frozen_stages=k stops gradients to the stem and the first k
     # stages (reference ResNet._freeze_stages sets requires_grad=False
@@ -248,8 +289,8 @@ class ResNet(nn.Module):
                         dtype=self.dtype, name="stem_conv")(x)
         else:
             x = conv(self.base_channels, 7, 2, 1, "stem_conv",
-                     self.dtype)(x)
-        x = FrozenBN(dtype=self.dtype, name="stem_bn")(x)
+                     self.dtype, self.conv_cfg)(x)
+        x = make_norm(self.norm_cfg, self.dtype, "stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         if self.frozen_stages >= 0:
@@ -269,7 +310,9 @@ class ResNet(nn.Module):
                 and block_cls is Bottleneck
                 and stage_blocks[i] > 1
                 and self.dilations[i] == 1
+                and self.norm_cfg is None and self.conv_cfg is None
                 and not (self.dcn is not None and self.stage_with_dcn[i])
+                and not (self.gcb is not None and self.stage_with_gcb[i])
                 and not (self.gen_attention is not None
                          and self.gen_attention_stages[i]))
             pending = []           # identity-block weights awaiting fuse
@@ -285,10 +328,17 @@ class ResNet(nn.Module):
                     cur_c = out_c
                     continue
                 extra = {}
+                if self.norm_cfg is not None:
+                    extra["norm_cfg"] = self.norm_cfg
+                if self.conv_cfg is not None:
+                    extra["conv_cfg"] = self.conv_cfg
                 if self.dcn is not None and self.stage_with_dcn[i]:
                     extra["dcn"] = self.dcn
                 if block_cls is Bottleneck:
                     extra["style"] = self.style
+                    if (self.gcb is not None
+                            and self.stage_with_gcb[i]):
+                        extra["gcb"] = self.gcb
                 x = block_cls(
                     planes=planes, stride=stride,
                     dilation=self.dilations[i],

@@ -110,14 +110,26 @@ class TwoStageDetector(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self._backbone = build_backbone(self.backbone or dict(
-            type="ResNet", depth=50, dtype=self.dtype))
-        self._neck = build_neck(self.neck or dict(
-            type="FPN", num_outs=5, dtype=self.dtype))
         from collections.abc import Mapping
+
+        def _dt(cfg):
+            # propagate the detector-level compute dtype (the fp16
+            # configs set dtype once at the top) into sub-configs that
+            # do not pin their own; empty/None stay falsy so the
+            # defaults below still apply
+            if isinstance(cfg, Mapping) and cfg:
+                c = dict(cfg)
+                c.setdefault("dtype", self.dtype)
+                return c
+            return cfg
+
+        self._backbone = build_backbone(_dt(self.backbone) or dict(
+            type="ResNet", depth=50, dtype=self.dtype))
+        self._neck = build_neck(_dt(self.neck) or dict(
+            type="FPN", num_outs=5, dtype=self.dtype))
         self._ga_rpn = (isinstance(self.rpn_head, Mapping)
                         and self.rpn_head.get("type") == "GARPNHead")
-        self._rpn = build_head(self.rpn_head or dict(
+        self._rpn = build_head(_dt(self.rpn_head) or dict(
             type="RPNHead", num_anchors=len(self.anchor_scales)
             * len(self.anchor_ratios), dtype=self.dtype))
         if self._ga_rpn:
@@ -127,9 +139,9 @@ class TwoStageDetector(nn.Module):
             self._ga_points = pts
             self._ga_pstrides = pstrides
             self._ga_level_sizes = psizes
-        self._bbox_head = build_head(self.bbox_head or dict(
+        self._bbox_head = build_head(_dt(self.bbox_head) or dict(
             type="SharedFCBBoxHead", num_classes=16, dtype=self.dtype))
-        self._rbbox_head = (build_head(self.rbbox_head)
+        self._rbbox_head = (build_head(_dt(self.rbbox_head))
                             if self.rbbox_head else None)
         if self.rbbox_refine_head:
             cfg = dict(self.rbbox_refine_head)
@@ -142,11 +154,11 @@ class TwoStageDetector(nn.Module):
             self._rbbox_refine_head = build_head(cfg)
         else:
             self._rbbox_refine_head = None
-        self._mask_head = (build_head(self.mask_head)
+        self._mask_head = (build_head(_dt(self.mask_head))
                            if self.mask_head else None)
-        self._semantic_head = (build_head(self.semantic_head)
+        self._semantic_head = (build_head(_dt(self.semantic_head))
                                if self.semantic_head else None)
-        self._mask_iou_head = (build_head(self.mask_iou_head)
+        self._mask_iou_head = (build_head(_dt(self.mask_iou_head))
                                if self.mask_iou_head else None)
         self._grid_head = (build_head(self.grid_head)
                            if self.grid_head else None)

@@ -49,19 +49,36 @@ class BBoxHead(nn.Module):
 
 
 @HEADS.register
+@HEADS.register(name="ConvFCBBoxHead")
 class SharedFCBBoxHead(nn.Module):
-    """2 shared FCs then cls/reg (convfc_bbox_head.py:175, the standard
-    Faster R-CNN head)."""
+    """Shared convs (optional, the 4conv1fc GN variant) + shared FCs
+    then cls/reg (convfc_bbox_head.py:175 SharedFCBBoxHead and :16
+    ConvFCBBoxHead with num_shared_convs, the standard Faster R-CNN
+    head and the configs/gn 4conv1fc head)."""
     num_classes: int = 81
     in_channels: int = 256
     fc_out_channels: int = 1024
     num_fcs: int = 2
+    num_shared_convs: int = 0
+    conv_out_channels: int = 256
+    # dict(type='GN', num_groups=32) after each shared conv (configs/gn)
+    norm_cfg: dict | None = None
     roi_feat_size: int = 7
     reg_class_agnostic: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.num_shared_convs:
+            from ..backbones.resnet import make_norm
+            for i in range(self.num_shared_convs):
+                x = nn.Conv(self.conv_out_channels, (3, 3), padding=1,
+                            use_bias=self.norm_cfg is None,
+                            dtype=self.dtype, name=f"shared_conv{i}")(x)
+                if self.norm_cfg is not None:
+                    x = make_norm(self.norm_cfg, self.dtype,
+                                  f"shared_norm{i}")(x)
+                x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         for i in range(self.num_fcs):
             x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,

@@ -24,14 +24,22 @@ class FCNMaskHead(nn.Module):
     num_classes: int = 81           # includes background
     upsample_ratio: int = 2
     class_agnostic: bool = False
+    # dict(type='GN', num_groups=32) after each conv (configs/gn)
+    norm_cfg: dict | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # x: [N, s, s, C]
+        from ..backbones.resnet import make_norm
         for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.conv_out_channels, (3, 3), padding=1,
-                                dtype=self.dtype, name=f"conv{i}")(x))
+            x = nn.Conv(self.conv_out_channels, (3, 3), padding=1,
+                        use_bias=self.norm_cfg is None,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            if self.norm_cfg is not None:
+                x = make_norm(self.norm_cfg, self.dtype,
+                              f"norm{i}")(x)
+            x = nn.relu(x)
         r = self.upsample_ratio
         if r > 1:
             x = nn.relu(nn.ConvTranspose(

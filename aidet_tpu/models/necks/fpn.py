@@ -62,6 +62,16 @@ class FPN(nn.Module):
     # Pallas strip kernel (ops/fused_fpn.py); same checkpoint tree,
     # falls back to the XLA path for non-exact-2x pyramids
     fused: bool = False
+    # norm_cfg=dict(type='GN', num_groups=32): GroupNorm after every
+    # lateral/output/extra conv, convs bias-less (reference ConvModule
+    # bias = norm_cfg is None; configs/gn)
+    norm_cfg: dict | None = None
+
+    def _norm(self, name):
+        from ..backbones.resnet import make_norm
+        if self.norm_cfg is None:
+            return lambda x: x
+        return make_norm(self.norm_cfg, self.dtype, name)
 
     @nn.compact
     def __call__(self, inputs):
@@ -70,7 +80,7 @@ class FPN(nn.Module):
                else self.end_level + 1)
         used = list(inputs[self.start_level:end])
 
-        if self.fused and _exact_pyramid(used):
+        if self.fused and self.norm_cfg is None and _exact_pyramid(used):
             from ...ops.fused_fpn import fpn_fused
             import jax as _jax
             wls, bls, wps, bps = [], [], [], []
@@ -88,9 +98,11 @@ class FPN(nn.Module):
                 (tuple(wls), tuple(bls), tuple(wps), tuple(bps)),
                 _jax.default_backend() != "tpu"))
         else:
+            bias = self.norm_cfg is None
             laterals = [
-                nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name=f"lateral{i}")(x)
+                self._norm(f"lateral_norm{i}")(
+                    nn.Conv(self.out_channels, (1, 1), use_bias=bias,
+                            dtype=self.dtype, name=f"lateral{i}")(x))
                 for i, x in enumerate(used)
             ]
             # top-down pathway
@@ -99,8 +111,10 @@ class FPN(nn.Module):
                     laterals[i], laterals[i - 1])
 
             outs = [
-                nn.Conv(self.out_channels, (3, 3), padding=1,
-                        dtype=self.dtype, name=f"fpn{i}")(laterals[i])
+                self._norm(f"fpn_norm{i}")(
+                    nn.Conv(self.out_channels, (3, 3), padding=1,
+                            use_bias=bias, dtype=self.dtype,
+                            name=f"fpn{i}")(laterals[i]))
                 for i in range(len(laterals))
             ]
 

@@ -66,6 +66,8 @@ class ConvWS(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
+    dilation: int = 1
+    use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,7 +75,6 @@ class ConvWS(nn.Module):
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (k, k, x.shape[-1], self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
         std = kernel.std(axis=(0, 1, 2), keepdims=True) + 1e-5
         kernel = (kernel - mean) / std
@@ -81,8 +82,12 @@ class ConvWS(nn.Module):
             x.astype(self.dtype), kernel.astype(self.dtype),
             (self.stride, self.stride),
             [(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out + bias
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+        return out
 
 
 class Scale(nn.Module):

@@ -1,0 +1,23 @@
+# Tiny e2e variant of dota_theta_obb_r50_fpn_1x.py (R18@512, the round-2-proven
+# synthetic-devkit recipe): relative per-encoding quality on the
+# realistic-angle set, not absolute scale.
+_base_ = "dota_theta_obb_r50_fpn_1x.py"
+model = dict(
+    backbone=dict(depth=18),
+    neck=dict(in_channels=(64, 128, 256, 512), out_channels=128),
+    img_size=512,
+    rpn_head=dict(in_channels=128, feat_channels=128),
+    bbox_head=dict(in_channels=128, fc_out_channels=512),
+    rbbox_head=dict(in_channels=128, fc_out_channels=512),
+)
+data = dict(
+    train=dict(ann_file="data/dota_e2e/train_patches.json",
+               img_prefix="data/dota_e2e/train_patches"),
+    test=dict(ann_file="data/dota_e2e/val_patches.json",
+              img_prefix="data/dota_e2e/val_patches"),
+)
+train_pipeline = dict(img_size=512, max_gt=128)
+optimizer = dict(lr=0.004)
+lr_config = dict(warmup_iters=50, step=(48, 56))
+total_epochs = 60
+batch_size = 8

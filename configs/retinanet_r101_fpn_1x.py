@@ -1,0 +1,3 @@
+# (parity: reference configs/retinanet_r101_fpn_1x.py)
+_base_ = "retinanet_r50_fpn_1x.py"
+model = dict(backbone=dict(depth=101))

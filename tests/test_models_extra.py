@@ -217,3 +217,55 @@ def test_resnet_caffe_style_stride_placement():
         if isinstance(conv1_out, tuple):  # flax stores (out,) tuples
             conv1_out = conv1_out[0]
         assert conv1_out.shape[1] == expect, (style, conv1_out.shape)
+
+
+def test_gn_gcb_fp16_config_families():
+    """configs/gn, gn+ws, gcnet, fp16 parity: the family knobs build
+    and forward (GroupNorm replaces FrozenBN, ContextBlock attaches,
+    detector-level dtype propagates to sub-configs)."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    from aidet_tpu.models import build_detector
+    from aidet_tpu.utils.config import Config
+
+    cfg = Config.fromfile("configs/mask_rcnn_r50_fpn_gn_2x.py")
+    mc = dict(cfg.model)
+    mc["img_size"] = 128
+    m = build_detector(mc, train_cfg=cfg.get("train_cfg"),
+                       test_cfg=cfg.get("test_cfg"))
+    x = jnp.ones((1, 128, 128, 3))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    keys = {"/".join(k) for k in
+            flax.traverse_util.flatten_dict(v["params"])}
+    assert any("lateral_norm" in k for k in keys), "FPN GN missing"
+    assert any("shared_norm" in k for k in keys), "bbox-head GN missing"
+    assert any("norm0" in k and "mask" in k.lower() or "norm0" in k
+               for k in keys), "mask-head GN missing"
+    # GN backbone keeps no frozen stats
+    assert "batch_stats" not in v
+    feats = jax.jit(
+        lambda vv, xx: m.apply(vv, xx, method="extract_feat"))(v, x)
+    assert feats[0].shape[-1] == 256
+
+    # gcb: context_block params appear only in stages 2-4
+    cfg2 = Config.fromfile("configs/mask_rcnn_r16_gcb_c3-c5_r50_fpn_1x.py")
+    mc2 = dict(cfg2.model); mc2["img_size"] = 128
+    m2 = build_detector(mc2, train_cfg=cfg2.get("train_cfg"),
+                        test_cfg=cfg2.get("test_cfg"))
+    v2 = jax.jit(m2.init)(jax.random.PRNGKey(0), x)
+    k2 = {"/".join(k) for k in
+          flax.traverse_util.flatten_dict(v2["params"])}
+    assert any("context_block" in k and "layer2" in k for k in k2)
+    assert not any("context_block" in k and "layer1_" in k for k in k2)
+
+    # fp16: detector dtype reaches sub-modules built from config dicts
+    cfg3 = Config.fromfile("configs/faster_rcnn_r50_fpn_fp16_1x.py")
+    mc3 = dict(cfg3.model); mc3["img_size"] = 128
+    mc3["dtype"] = jnp.bfloat16
+    m3 = build_detector(mc3, train_cfg=cfg3.get("train_cfg"),
+                        test_cfg=cfg3.get("test_cfg"))
+    v3 = jax.jit(m3.init)(jax.random.PRNGKey(0), x)
+    f3 = jax.jit(
+        lambda vv, xx: m3.apply(vv, xx, method="extract_feat"))(v3, x)
+    assert f3[0].dtype == jnp.bfloat16

@@ -4,8 +4,7 @@
 # time so chip timing work can interleave between runs.
 set -u
 cd "$(dirname "$0")/.."
-GT=data/dota/val_patches_scene_gt_obb.json
-EPOCHS=${EPOCHS:-60}
+GT=${GT:-data/dota_e2e/val_patches_scene_gt_obb.json}
 # persistent compile cache: re-runs of a config skip the ~25 min
 # remote train-step compile
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
@@ -15,9 +14,10 @@ mkdir -p work_dirs
 for cfg in "$@"; do
   name=$(basename "$cfg" .py)
   echo "=== $name ==="
+  # configs carry their own schedule (total_epochs/lr tuned per
+  # config); no autoscale -- the e2e lr is already per-chip
   timeout 7200 python tools/dota_workflow.py "configs/$name.py" \
     --stages train test eval --gt-json "$GT" \
-    --total-epochs "$EPOCHS" --autoscale-lr \
     >"work_dirs/${name}_e2e.log" 2>&1
   echo "=== $name exit=$? ==="
   tail -5 "work_dirs/${name}_e2e.log"

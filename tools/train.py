@@ -42,7 +42,15 @@ def main():
     logger.info("env: %s", collect_env())
     logger.info("config: %s", cfg.filename)
 
-    model = build_detector(cfg.model, train_cfg=cfg.get("train_cfg"),
+    model_cfg = dict(cfg.model)
+    if cfg.get("fp16"):
+        # reference fp16 hook (configs/fp16, core/fp16/hooks.py) ->
+        # bf16 compute on TPU: no loss scaling needed, params stay
+        # fp32 (utils/precision.py rationale)
+        import jax.numpy as jnp
+        model_cfg.setdefault("dtype", jnp.bfloat16)
+        logger.info("fp16 config -> bf16 compute dtype")
+    model = build_detector(model_cfg, train_cfg=cfg.get("train_cfg"),
                            test_cfg=cfg.get("test_cfg"))
     dataset = build_dataset(cfg.data["train"])
 
@@ -73,7 +81,7 @@ def main():
     elif cfg.get("batch_size"):
         # config-level global batch (imgs_per_gpu * gpus in the
         # reference's terms); CLI flag wins
-        run_cfg.setdefault("batch_size", cfg["batch_size"])
+        run_cfg.setdefault("batch_size", cfg.get("batch_size"))
     if args.n_devices:
         run_cfg["n_devices"] = args.n_devices
     run_cfg.setdefault("total_epochs", cfg.get("total_epochs", 12))
