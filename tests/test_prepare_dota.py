@@ -62,7 +62,7 @@ def test_prepare_and_load_round_trip(tmp_path):
         assert scene == "P0001" and scale == 1.0
 
     ds = DOTADataset(ann_file=ann,
-                     img_prefix=os.path.join(out, "images"))
+                     img_prefix=os.path.join(out, "train"))
     total = 0
     seen_crowd = 0
     for i in range(len(ds)):

@@ -106,7 +106,10 @@ def prepare_split(data_root: str, out_dir: str, split: str = "trainval",
 
     img_dir = os.path.join(data_root, "images")
     ann_dir = os.path.join(data_root, "labelTxt")
-    out_img_dir = os.path.join(out_dir, "images")
+    # patches land under <out_dir>/<split>/ so multiple splits prepared
+    # into one out_dir never collide (scene names restart at P0000 per
+    # split) and configs can use img_prefix=<out_dir>/<split>
+    out_img_dir = os.path.join(out_dir, split)
     os.makedirs(out_img_dir, exist_ok=True)
     class_to_id = {c: i + 1 for i, c in enumerate(classes)}
 
