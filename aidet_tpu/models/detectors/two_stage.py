@@ -284,8 +284,14 @@ class TwoStageDetector(nn.Module):
                     in ("tpu", "axon") else "xla")
         if impl == "pallas":
             import os
+            band_impl = os.environ.get("AIDET_ROI_BAND", "1")
             if (infer and feats[0].dtype == jnp.bfloat16
-                    and os.environ.get("AIDET_ROI_BAND", "1") == "1"):
+                    and band_impl != "0"):
+                if band_impl == "x":
+                    from ...ops.roi_align_bandx import roi_align_bandx
+                    return roi_align_bandx(
+                        list(feats[:4]), rois_b, out_size,
+                        tuple(self.strides[:4]))
                 from ...ops.roi_align_band import roi_align_band
                 return roi_align_band(
                     list(feats[:4]), rois_b, out_size,

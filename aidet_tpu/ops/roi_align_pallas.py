@@ -60,13 +60,35 @@ def _win_sizes(feats):
     return tuple(sizes)
 
 
+def _weights_1d(coords, origin, dim, width, out_size, s):
+    """[K, n_pts] sample coords → pooled 1-D interpolation weights
+    [K, out_size, width] relative to per-roi integer ``origin``.
+
+    Shared by the window kernel (window-relative origins) and the
+    band-x kernel (band-relative y origins, zero x origins)."""
+    oob = (coords < -1.0) | (coords > dim[:, None])
+    cc = jnp.clip(coords, 0.0, dim[:, None] - 1)
+    c0 = jnp.floor(cc)
+    frac = cc - c0
+    c1 = jnp.minimum(c0 + 1, dim[:, None] - 1)
+    loc0 = c0 - origin[:, None].astype(jnp.float32)
+    loc1 = c1 - origin[:, None].astype(jnp.float32)
+    iw = jax.lax.broadcasted_iota(jnp.float32, (1, 1, width), 2)
+    w = ((iw == loc0[..., None]) * (1 - frac)[..., None]
+         + (iw == loc1[..., None]) * frac[..., None])
+    w = jnp.where(oob[..., None], 0.0, w)            # [K, n_pts, width]
+    w = w.reshape(-1, out_size, s, width).sum(2) / s
+    return w                                          # [K, out, width]
+
+
 def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
-             finest_scale, aligned, use_small=None):
+             finest_scale, aligned, use_small=None, with_coords=False):
     """Host-side (XLA) prep: per-roi class/window/weights.
 
     use_small: override the small-window partition (the band kernel
     needs uniform full-window origins so its 48-row bands always
-    cover the window)."""
+    cover the window).
+    with_coords: return raw sample coords instead of weight matrices."""
     num_levels = len(featmap_strides)
     b, r = rois_b.shape[:2]
     k = b * r
@@ -140,24 +162,16 @@ def _prepare(feats, rois_b, out_size, featmap_strides, sampling_ratio,
     wx = (wx // ALIGN) * ALIGN
 
     def weights_1d(coords, origin, dim, width):
-        """[K, n_pts] sample coords → pooled weights [K, out, width]."""
-        oob = (coords < -1.0) | (coords > dim[:, None])
-        cc = jnp.clip(coords, 0.0, dim[:, None] - 1)
-        c0 = jnp.floor(cc)
-        frac = cc - c0
-        c1 = jnp.minimum(c0 + 1, dim[:, None] - 1)
-        loc0 = c0 - origin[:, None].astype(jnp.float32)
-        loc1 = c1 - origin[:, None].astype(jnp.float32)
-        iw = jax.lax.broadcasted_iota(jnp.float32, (1, 1, width), 2)
-        w = ((iw == loc0[..., None]) * (1 - frac)[..., None]
-             + (iw == loc1[..., None]) * frac[..., None])
-        w = jnp.where(oob[..., None], 0.0, w)        # [K, n_pts, width]
-        w = w.reshape(-1, out_size, s, width).sum(2) / s
-        return w                                      # [K, out, width]
+        return _weights_1d(coords, origin, dim, width, out_size, s)
 
+    b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    if with_coords:
+        # band-x kernel rebuilds its own weight matrices (band-relative
+        # y origins, full-width x) from the raw sample coordinates
+        return (cls_ids.astype(jnp.int32), b_idx, wy, wx,
+                ys, xs, h_l, w_l)
     wy_mat = weights_1d(ys, wy, h_l, WIN_Y)
     wx_mat = weights_1d(xs, wx, w_l, WIN_X)
-    b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
     return (cls_ids.astype(jnp.int32), b_idx, wy, wx,
             wy_mat.astype(jnp.float32), wx_mat.astype(jnp.float32))
 

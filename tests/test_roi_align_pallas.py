@@ -91,6 +91,36 @@ def test_band_kernel_matches_window_kernel(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=0.05)
 
 
+def test_bandx_kernel_matches_window_kernel(monkeypatch):
+    """Chunk-grid x-first kernel (roi_align_bandx) vs the window
+    kernel, pooled sizes 7 and 14 (interpret mode)."""
+    monkeypatch.setenv("AIDET_BANDX_INTERPRET", "1")
+    from aidet_tpu.ops.roi_align_bandx import roi_align_bandx
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+    rng = np.random.RandomState(3)
+    b, r, c = 2, 24, 128
+    feats = [jnp.asarray(rng.randn(b, 256 // s, 256 // s, c)
+                         .astype(np.float32)).astype(jnp.bfloat16)
+             for s in (4, 8, 16, 32)]
+    xy = rng.uniform(0, 150, (b, r, 2))
+    wh = rng.uniform(10, 100, (b, r, 2))
+    rois = jnp.asarray(np.concatenate(
+        [xy, np.minimum(xy + wh, 255)], -1).astype(np.float32))
+    for size in (7, 14):
+        ref = np.asarray(rap._roi_align_pallas_fwd(
+            feats, rois, size, (4, 8, 16, 32), 2, 56, True), np.float32)
+        out = np.asarray(roi_align_bandx(feats, rois, size,
+                                         (4, 8, 16, 32)), np.float32)
+        np.testing.assert_allclose(out, ref, atol=0.05)
+
+
 def test_band_kernel_mask_size(monkeypatch):
     """Band kernel at the mask-branch output size (14) — used by the
     predict mask path via _roi_features(..., 14, infer=True)."""
