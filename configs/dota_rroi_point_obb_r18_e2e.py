@@ -19,6 +19,6 @@ data = dict(
 )
 train_pipeline = dict(img_size=512, max_gt=128)
 optimizer = dict(lr=0.004)
-lr_config = dict(warmup_iters=50, step=(48, 56))
-total_epochs = 60
-batch_size = 8
+lr_config = dict(warmup_iters=50, step=(20, 23))
+total_epochs = 25
+batch_size = 2

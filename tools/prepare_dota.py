@@ -84,7 +84,21 @@ def patch_annotations(polys, names, diff, x0, y0, patch, scale,
         p = sp[i].copy()
         p[0::2] -= x0
         p[1::2] -= y0
+        full_area = abs(np.dot(p[0::2], np.roll(p[1::2], -1))
+                        - np.dot(p[1::2], np.roll(p[0::2], -1))) / 2
         p = np.clip(p, 0, patch - 1)
+        # border-clipped remnants: the devkit's ImgSplit drops
+        # instances reduced to slivers (log-ratio regression targets
+        # explode on ~0-px sides) and marks heavily-truncated ones
+        # difficult.  Same policy on the vertex-clipped quad.
+        pts = p.reshape(4, 2)
+        clip_area = abs(np.dot(p[0::2], np.roll(p[1::2], -1))
+                        - np.dot(p[1::2], np.roll(p[0::2], -1))) / 2
+        ratio = clip_area / max(full_area, 1e-6)
+        spans = pts.max(0) - pts.min(0)
+        if clip_area < 4.0 or min(spans) < 2.0 or ratio < 0.2:
+            continue
+        truncated = ratio < 0.6
         out.append(dict(
             category_id=class_to_id[names[i]],
             bbox=pointobb_to_xywh(p),
@@ -93,7 +107,7 @@ def patch_annotations(polys, names, diff, x0, y0, patch, scale,
             area=float(
                 abs(np.dot(p[0::2], np.roll(p[1::2], -1))
                     - np.dot(p[1::2], np.roll(p[0::2], -1))) / 2),
-            iscrowd=int(diff[i] > 0),
+            iscrowd=int(diff[i] > 0 or truncated),
         ))
     return out
 
