@@ -154,6 +154,9 @@ def make_train_step(model, optimizer,
                                   opt_state=opt_state)
         metrics = dict(losses)
         metrics["loss"] = total
+        # pre-clip global gradient norm: outlier-batch observability
+        # (a spike here flags the batch that destabilised training)
+        metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     if mesh is None:

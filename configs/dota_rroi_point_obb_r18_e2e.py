@@ -18,7 +18,7 @@ data = dict(
               img_prefix="data/dota_e2e/val_patches"),
 )
 train_pipeline = dict(img_size=512, max_gt=128)
-optimizer = dict(lr=0.004)
+optimizer = dict(lr=0.004, grad_clip_norm=10.0)
 lr_config = dict(warmup_iters=50, step=(20, 23))
 total_epochs = 25
 batch_size = 2
