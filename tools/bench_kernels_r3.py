@@ -1,0 +1,138 @@
+"""Round-3 chip microbenches: RoIAlign kernel variants + restructured
+fused strip kernels, at flagship shapes (batch 16, 1024^2, bf16).
+
+Run after the e2e suite frees the chip; prints a ms table per variant
+so the flagship flags (AIDET_ROI_BAND, fused toggles) can be set to
+whatever actually wins on hardware.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def timeit(fn, *args, iters=10):
+    """Chained-accumulator timing (same scheme as bench.py: one host
+    sync for the whole chain so the tunnel RTT is amortized)."""
+    import jax
+    import jax.numpy as jnp
+
+    def red(out):
+        leaves = [l for l in jax.tree_util.tree_leaves(out)
+                  if hasattr(l, "dtype")]
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    f2 = jax.jit(lambda acc, *a: acc + red(fn(*a)))
+    acc = f2(jnp.float32(0), *args)
+    float(acc)
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = f2(acc, *args)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_roi(iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aidet_tpu.ops.roi_align_band import roi_align_band
+    from aidet_tpu.ops.roi_align_bandx import roi_align_bandx
+    from aidet_tpu.ops.roi_align_pallas import roi_align_pallas
+
+    b, r, c = 16, 1000, 256
+    sizes = [256, 128, 64, 32]
+    strides = (4, 8, 16, 32)
+    key = jax.random.PRNGKey(0)
+    feats = [jax.random.normal(key, (b, s, s, c), jnp.bfloat16)
+             for s in sizes]
+    rs = np.random.RandomState(0)
+    xy = rs.uniform(0, 960, (b, r, 2)).astype(np.float32)
+    wh = rs.uniform(8, 320, (b, r, 2)).astype(np.float32)
+    rois = jnp.asarray(np.concatenate(
+        [xy, np.minimum(xy + wh, 1023)], -1))
+
+    for name, fn in [
+            ("window (roi_align_pallas)",
+             lambda f, rr: roi_align_pallas(list(f), rr, 7, strides)),
+            ("band   (roi_align_band)",
+             lambda f, rr: roi_align_band(list(f), rr, 7, strides)),
+            ("bandx  (roi_align_bandx)",
+             lambda f, rr: roi_align_bandx(list(f), rr, 7, strides))]:
+        try:
+            t = timeit(fn, feats, rois, iters=iters)
+            print(f"roi {name:30s} {t * 1e3:8.2f} ms  "
+                  f"({b * r} rois)", flush=True)
+        except Exception as e:  # VMEM infeasible etc.
+            print(f"roi {name:30s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
+def bench_fused(iters):
+    import jax
+    import jax.numpy as jnp
+
+    from aidet_tpu.models.backbones.resnet import ResNet
+    from aidet_tpu.models.necks.fpn import FPN
+    from aidet_tpu.models.heads.rpn_head import RPNHead
+
+    b, s = 16, 1024
+    imgs = jnp.zeros((b, s, s, 3), jnp.float32)
+
+    # backbone: fused identity chains vs XLA (same param tree)
+    kw = dict(depth=50, dtype=jnp.bfloat16, stem_space_to_depth=True)
+    bb = ResNet(**kw)
+    v = jax.jit(bb.init)(jax.random.PRNGKey(0), imgs)
+    t = timeit(lambda vv, im: bb.apply(vv, im), v, imgs, iters=iters)
+    print(f"backbone XLA   {t * 1e3:8.2f} ms", flush=True)
+    bbf = ResNet(fused_identity_chains=True, **kw)
+    t = timeit(lambda vv, im: bbf.apply(vv, im), v, imgs, iters=iters)
+    print(f"backbone fused {t * 1e3:8.2f} ms", flush=True)
+
+    feats = jax.jit(bb.apply)(v, imgs)
+
+    # FPN fused vs XLA
+    fkw = dict(num_outs=5, dtype=jnp.bfloat16)
+    fpn = FPN(**fkw)
+    fv = jax.jit(fpn.init)(jax.random.PRNGKey(0), feats)
+    t = timeit(lambda vv, ff: fpn.apply(vv, ff), fv, feats, iters=iters)
+    print(f"fpn      XLA   {t * 1e3:8.2f} ms", flush=True)
+    fpnf = FPN(fused=True, **fkw)
+    t = timeit(lambda vv, ff: fpnf.apply(vv, ff), fv, feats, iters=iters)
+    print(f"fpn      fused {t * 1e3:8.2f} ms", flush=True)
+
+    fpn_out = jax.jit(fpn.apply)(fv, feats)
+
+    # RPN head fused vs XLA
+    rkw = dict(num_anchors=3, dtype=jnp.bfloat16)
+    rpn = RPNHead(**rkw)
+    rv = jax.jit(rpn.init)(jax.random.PRNGKey(0), fpn_out)
+    t = timeit(lambda vv, ff: rpn.apply(vv, ff), rv, fpn_out, iters=iters)
+    print(f"rpn      XLA   {t * 1e3:8.2f} ms", flush=True)
+    rpnf = RPNHead(fused=True, **rkw)
+    t = timeit(lambda vv, ff: rpnf.apply(vv, ff), rv, fpn_out,
+               iters=iters)
+    print(f"rpn      fused {t * 1e3:8.2f} ms", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", choices=["roi", "fused"], default=None)
+    args = ap.parse_args()
+    import jax
+    print("platform:", jax.devices()[0].platform, flush=True)
+    if args.only in (None, "roi"):
+        bench_roi(args.iters)
+    if args.only in (None, "fused"):
+        bench_fused(args.iters)
+
+
+if __name__ == "__main__":
+    main()
