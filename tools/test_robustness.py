@@ -1,6 +1,9 @@
 """Corruption-robustness benchmark (parity: reference
 tools/test_robustness.py + robustness_eval.py): run inference under
-each corruption × severity, report mean degradation."""
+each corruption × severity, report per-run mAP plus the benchmark's
+aggregate metrics P (clean AP), mPC (mean AP over corruptions at
+severities 1..5) and rPC = mPC / P
+(robustness_eval.py:get_results/get_distortions_from_file)."""
 
 from __future__ import annotations
 
@@ -93,7 +96,32 @@ def main():
             key = f"{name}_s{sev}" if name != "clean" else "clean"
             results[key] = dict(mean_dets=mean_dets,
                                 mean_score=mean_score)
+            if hasattr(dataset, "evaluate"):
+                ev = dataset.evaluate(res)
+                results[key].update(
+                    {k: float(v) for k, v in ev.items()
+                     if isinstance(v, (int, float))})
+            results[key].update(corruption=name, severity=sev)
             logger.info("%s: %s", key, results[key])
+
+    # aggregate metrics (parity: robustness_eval.py — P on clean data,
+    # mPC over corruptions x severities>=1, rPC = mPC / P)
+    metric = next((m for m in ("mAP", "AP50")
+                   if m in results.get("clean", {})), None)
+    if metric is not None:
+        p_clean = results["clean"][metric]
+        per_corr = {}
+        for key, r in results.items():
+            if r["severity"] >= 1 and metric in r:
+                per_corr.setdefault(r["corruption"], []).append(r[metric])
+        if per_corr:
+            mpc = float(np.mean(
+                [np.mean(v) for v in per_corr.values()]))
+            results["aggregate"] = dict(
+                metric=metric, P=p_clean, mPC=mpc,
+                rPC=float(mpc / p_clean) if p_clean > 0 else 0.0,
+                corruption=None, severity=-1)
+            logger.info("aggregate: %s", results["aggregate"])
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
