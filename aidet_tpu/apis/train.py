@@ -53,10 +53,12 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
     # batch (parity: init_dist + DistributedGroupSampler,
     # tools/train.py:47-51 / samplers/group_sampler.py:50-137)
     from ..parallel.dist import init_distributed, local_batch_to_global
-    if cfg.get("distributed", False):
-        proc_id, proc_count = init_distributed()
-    else:
-        proc_id, proc_count = jax.process_index(), jax.process_count()
+    # env-driven no-op for single-process runs; a multi-process env
+    # (JAX_COORDINATOR_ADDRESS et al., set by tools/dist_train.sh /
+    # slurm_train.sh) must have been consumed by an init_distributed()
+    # call BEFORE the backend was touched — tools/train.py does that
+    # first thing; this call is then an idempotent re-read
+    proc_id, proc_count = init_distributed()
 
     n_avail = len(jax.devices())
     batch_size = cfg.get("batch_size", n_avail * 2)
@@ -68,6 +70,14 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
     assert batch_size % n_dev == 0, "global batch must divide the mesh"
     assert batch_size % proc_count == 0, \
         "global batch must divide the process count"
+    if proc_count > 1:
+        # establish the cross-process collective context NOW, while
+        # the processes are still time-aligned: context creation has a
+        # short (~30s) rendezvous timeout, and the first natural
+        # collective otherwise lands after divergent per-process jit
+        # compiles (observed: Gloo GetKeyValue DEADLINE_EXCEEDED)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("aidet_tpu/train_init")
 
     loader = GroupedLoader(dataset, cfg["pipeline"],
                            batch_size // proc_count,
@@ -144,7 +154,7 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
                             epoch + 1, i + 1, iters_per_epoch, dt,
                             float(schedule(global_step)),
                             {k: round(v, 4) for k, v in m.items()})
-        if (epoch + 1) % ckpt_interval == 0:
+        if (epoch + 1) % ckpt_interval == 0 and proc_id == 0:
             save_checkpoint(f"{work_dir}/ckpt", state, epoch + 1,
                             meta=dict(
                                 classes=list(getattr(dataset, "CLASSES",

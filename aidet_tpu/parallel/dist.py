@@ -38,16 +38,39 @@ def init_distributed(coordinator_address: str | None = None,
 
     Returns (process_index, process_count).
     """
+    global _initialized
     explicit = coordinator_address is not None
     env = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if explicit or env or int(os.environ.get("JAX_NUM_PROCESSES",
-                                             "1")) > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            local_device_ids=local_device_ids)
+    if not _initialized and (
+            explicit or env
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1):
+        # jax.distributed.initialize auto-detects SLURM/TPU-pod envs
+        # but NOT these manual vars — pass them through explicitly
+        if coordinator_address is None:
+            coordinator_address = env
+        if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and "JAX_PROCESS_ID" in os.environ:
+            process_id = int(os.environ["JAX_PROCESS_ID"])
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids)
+        except RuntimeError as e:
+            # the one unrecoverable ordering mistake: some earlier call
+            # (jax.devices(), a logger asking for process_index, ...)
+            # already initialized the backend single-process
+            raise RuntimeError(
+                "jax.distributed.initialize failed — the jax backend "
+                "was touched before init_distributed(); call it first "
+                "thing in the entrypoint (tools/train.py does)") from e
+        _initialized = True
     return jax.process_index(), jax.process_count()
+
+
+_initialized = False
 
 
 def is_main_process() -> bool:

@@ -24,11 +24,19 @@ def parse_args():
     p.add_argument("--n-devices", type=int, default=None,
                    help="shard each batch over an n-device data mesh "
                         "(default: all visible devices when >1)")
+    p.add_argument("--platform", default=os.environ.get("AIDET_PLATFORM"),
+                   choices=["cpu", "tpu", "axon"],
+                   help="pin the jax platform (e.g. cpu for off-TPU "
+                        "validation; env var alone is not reliable — "
+                        "see utils/platform.py)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
     from aidet_tpu.apis.inference import init_detector

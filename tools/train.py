@@ -23,11 +23,24 @@ def parse_args():
                    help="linearly scale lr with device count "
                         "(parity: reference tools/train.py:81-83, "
                         "8-device base)")
+    p.add_argument("--platform", default=os.environ.get("AIDET_PLATFORM"),
+                   choices=["cpu", "tpu", "axon"],
+                   help="pin the jax platform (e.g. cpu for off-TPU "
+                        "validation; env var alone is not reliable — "
+                        "see utils/platform.py)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    # multi-process env (from tools/dist_train.sh / slurm_train.sh)
+    # must be consumed before ANYTHING touches the jax backend —
+    # collect_env and even get_root_logger (rank gating) initialize it
+    from aidet_tpu.parallel.dist import init_distributed
+    init_distributed()
     from aidet_tpu.apis.train import train_detector
     from aidet_tpu.data.builder import build_dataset
     from aidet_tpu.data.pipeline import TrainPipeline
