@@ -21,12 +21,8 @@ def init_detector(config, checkpoint: str | None = None):
     """Returns (model, variables, cfg)."""
     if isinstance(config, str):
         config = Config.fromfile(config)
-    model_cfg = dict(config.model)
-    if config.get("fp16"):
-        # configs/fp16 parity: bf16 compute on TPU (tools/train.py
-        # applies the same mapping on the train side)
-        import jax.numpy as _jnp
-        model_cfg.setdefault("dtype", _jnp.bfloat16)
+    from ..utils.precision import apply_fp16_cfg
+    model_cfg = apply_fp16_cfg(config, dict(config.model))
     model = build_detector(model_cfg,
                            train_cfg=config.get("train_cfg"),
                            test_cfg=config.get("test_cfg"))

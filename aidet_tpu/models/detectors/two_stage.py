@@ -144,7 +144,7 @@ class TwoStageDetector(nn.Module):
         self._rbbox_head = (build_head(_dt(self.rbbox_head))
                             if self.rbbox_head else None)
         if self.rbbox_refine_head:
-            cfg = dict(self.rbbox_refine_head)
+            cfg = dict(_dt(self.rbbox_refine_head))
             cfg.setdefault("type", "RBBoxHead")
             cfg.setdefault("encode", "rtheta")
             if cfg["encode"] != "rtheta":
@@ -160,7 +160,7 @@ class TwoStageDetector(nn.Module):
                                if self.semantic_head else None)
         self._mask_iou_head = (build_head(_dt(self.mask_iou_head))
                                if self.mask_iou_head else None)
-        self._grid_head = (build_head(self.grid_head)
+        self._grid_head = (build_head(_dt(self.grid_head))
                            if self.grid_head else None)
         anchors, sizes = build_pyramid_anchors(
             self.img_size, self.strides,
@@ -637,6 +637,13 @@ class TwoStageDetector(nn.Module):
                 pos_sm = jax.tree.map(lambda x: x[:, :p_max], sample)
                 gtm = jax.vmap(lambda sm, g: g[jnp.clip(
                     sm.gt_inds, 0, g.shape[0] - 1)])(pos_sm, gt_rboxes)
+                # gt_rboxes are stored in the config's rbbox_encode
+                # format — convert to thetaobb like `dec` above, since
+                # rtheta2delta reads (cx, cy, w, h, theta)
+                if self.rbbox_encode == "pointobb":
+                    gtm = pointobb2thetaobb(gtm)
+                elif self.rbbox_encode == "hobb":
+                    gtm = hobb2thetaobb(gtm)
                 tgt_ref = jax.vmap(rtheta2delta)(stage1, gtm)
                 is_pos = pos_sm.is_pos.reshape(-1).astype(jnp.float32)
                 lbl_pos = lbl[:, :p_max].reshape(-1)

@@ -27,7 +27,7 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, feats):
         if self.fused and self.in_channels == self.feat_channels:
-            import jax as _jax
+            from ...utils.platform import is_tpu_backend as _is_tpu_backend
 
             from ..necks.fpn import _ConvBP
             from ...ops.fused_fpn import rpn_fused
@@ -42,7 +42,7 @@ class RPNHead(nn.Module):
             cls_out, reg_out = rpn_fused(
                 tuple(f.astype(self.dtype) for f in feats),
                 (wr, br, wc[0, 0], bc, wg[0, 0], bg),
-                _jax.default_backend() != "tpu")
+                not _is_tpu_backend())
             return list(cls_out), list(reg_out)
         shared = nn.Conv(self.feat_channels, (3, 3), padding=1,
                          dtype=self.dtype, name="rpn_conv")

@@ -82,7 +82,7 @@ class FPN(nn.Module):
 
         if self.fused and self.norm_cfg is None and _exact_pyramid(used):
             from ...ops.fused_fpn import fpn_fused
-            import jax as _jax
+            from ...utils.platform import is_tpu_backend as _is_tpu_backend
             wls, bls, wps, bps = [], [], [], []
             for i, x in enumerate(used):
                 kl, bl = _ConvBP((1, 1, x.shape[-1], self.out_channels),
@@ -96,7 +96,7 @@ class FPN(nn.Module):
             outs = list(fpn_fused(
                 tuple(x.astype(self.dtype) for x in used),
                 (tuple(wls), tuple(bls), tuple(wps), tuple(bps)),
-                _jax.default_backend() != "tpu"))
+                not _is_tpu_backend()))
         else:
             bias = self.norm_cfg is None
             laterals = [

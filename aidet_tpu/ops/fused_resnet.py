@@ -290,7 +290,8 @@ def run_identity_chain(x, blocks, interpret=None):
     w3 [1,1,Cm,C], bn3) where bn* = (scale, bias, mean, var).
     """
     if interpret is None:          # off-TPU: run the Pallas interpreter
-        interpret = jax.default_backend() != "tpu"
+        from ..utils.platform import is_tpu_backend
+        interpret = not is_tpu_backend()
     dt = x.dtype
 
     def fold(bn):

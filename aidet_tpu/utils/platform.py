@@ -21,3 +21,14 @@ def force_cpu():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+
+def is_tpu_backend() -> bool:
+    """True when the default backend compiles Mosaic/Pallas natively.
+
+    ``axon`` (the remote single-chip TPU tunnel) IS a TPU — gating
+    Pallas kernels on ``default_backend() != "tpu"`` alone silently
+    runs the interpreter there, which both mismeasures benchmarks and
+    cripples any fused-enabled config."""
+    import jax
+    return jax.default_backend() in ("tpu", "axon")

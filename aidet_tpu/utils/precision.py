@@ -14,6 +14,18 @@ import jax
 import jax.numpy as jnp
 
 
+def apply_fp16_cfg(cfg, model_cfg: dict) -> dict:
+    """Map a config-level ``fp16 = dict(...)`` flag (reference
+    configs/fp16, core/fp16/hooks.py) onto the detector's compute
+    dtype: bf16 on TPU, no loss scaling needed. The single source for
+    both the train (tools/train.py) and inference (apis/inference.py)
+    sides — they must agree or a checkpoint trained under one mapping
+    is evaluated under another."""
+    if cfg.get("fp16"):
+        model_cfg.setdefault("dtype", jnp.bfloat16)
+    return model_cfg
+
+
 def wrap_bf16_model(variables):
     """Cast a variables tree's params to bf16 (weights only; batch
     statistics stay fp32 — the patch_norm_fp32 analog)."""

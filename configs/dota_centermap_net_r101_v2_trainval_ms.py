@@ -3,46 +3,13 @@
 # dota_v018_centermap_net_r101_v2_trainval_ms.py — recorded there:
 # OBB mAP 75.15 / HBB 75.73, trainval; img_scale {1280, 1024, 768}
 # multiscale_mode='value' + soft-NMS at test)
-model = dict(
-    type="CenterMapNet",
-    backbone=dict(type="ResNet", depth=101),
-    neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048),
-              out_channels=256, num_outs=5),
-    rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256,
-                  num_anchors=3),
-    bbox_head=dict(type="SharedFCBBoxHead", num_classes=16,
-                   in_channels=256),
-    mask_head=dict(type="CenterMapHead", num_convs=10, in_channels=256,
-                   num_classes=16),
-    semantic_head=dict(type="WPSGAHead", in_channels=256, channels=256,
-                       num_classes=16),
-    img_size=1280)
-train_cfg = dict(
-    rpn=dict(pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
-             num_samples=256, pos_fraction=0.5, allowed_border=0),
-    rpn_proposal=dict(nms_pre=2000, nms_post=2000, max_num=2000,
-                      nms_thr=0.7),
-    rcnn=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
-              num_samples=512, pos_fraction=0.25, mask_size=28))
-test_cfg = dict(
-    rpn=dict(nms_pre=2000, nms_post=2000, max_num=2000, nms_thr=0.7),
-    rcnn=dict(score_thr=0.05, nms=dict(type="soft_nms", iou_thr=0.5),
-              max_per_img=1000))
+_base_ = "dota_centermap_net_tgrs_mask_weight_v4.py"
+model = dict(img_size=1280)
+test_cfg = dict(rcnn=dict(nms=dict(type="soft_nms")))
 data = dict(
-    train=dict(type="DOTADataset",
-               ann_file="data/dota/trainval_patches.json",
-               img_prefix="data/dota/trainval_patches"),
-    test=dict(type="DOTADataset", ann_file="data/dota/val_patches.json",
-              img_prefix="data/dota/val_patches", test_mode=True))
+    train=dict(ann_file="data/dota/trainval_patches.json",
+               img_prefix="data/dota/trainval_patches"))
 # multi-scale: sampled target size per batch (the 'value' mode's
 # {768, 1024, 1280} ladder expressed as the pipeline's scale_range;
 # the static canvas stays img_size² so shapes remain jit-constant)
-train_pipeline = dict(img_size=1280, max_gt=256, flip_ratio=0.5,
-                      scale_range=(768, 1280),
-                      with_rbox=True, with_mask=True,
-                      mask_type="centermap", with_mask_weight=True,
-                      with_semantic=True, with_heatmap_weight=True)
-optimizer = dict(lr=0.02, momentum=0.9, weight_decay=1e-4,
-                 grad_clip_norm=35.0)
-lr_config = dict(warmup_iters=500, warmup_ratio=1.0 / 3, step=(8, 11))
-total_epochs = 12
+train_pipeline = dict(img_size=1280, scale_range=(768, 1280))

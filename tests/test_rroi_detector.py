@@ -83,6 +83,40 @@ def test_rroi_detector_train_and_infer(encode):
     assert (np.asarray(out["rboxes"])[~v] == 0).all()
 
 
+def test_rroi_refine_targets_encoding_consistent():
+    """The refine branch regresses rtheta deltas from stage-1 boxes to
+    the gt — gt_rboxes arrive in the config's rbbox_encode format and
+    MUST be converted to thetaobb before rtheta2delta (regression: the
+    pointobb path once fed raw [G,8] corner lists in as (cx,cy,w,h,θ),
+    training the refine head on garbage). At init the first-stage
+    deltas are ~0, so stage-1 boxes — and hence the refine loss — must
+    approximately agree between encodings of the same geometry."""
+    vals = {}
+    for encode in ("thetaobb", "pointobb"):
+        cfg = _small_cfg()
+        cfg["rbbox_head"] = dict(type="RBBoxHead", num_classes=16,
+                                 in_channels=64, fc_out_channels=128,
+                                 encode=encode)
+        cfg["rbbox_refine_head"] = dict(
+            type="RBBoxHead", num_classes=16, in_channels=64,
+            fc_out_channels=128, encode="rtheta")
+        model = build_detector(dict(type="RBBoxRCNNRRoI",
+                                    rbbox_encode=encode, **cfg))
+        data = demo_inputs(batch=2, with_rbox=True)
+        if encode == "pointobb":
+            from aidet_tpu.core.rboxes import thetaobb2pointobb
+            data["gt_rboxes"] = thetaobb2pointobb(data["gt_rboxes"])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                        data["imgs"])
+        losses = jax.jit(functools.partial(model.apply, method="loss"))(
+            variables, rngs={"sampling": jax.random.PRNGKey(1)}, **data)
+        vals[encode] = float(losses["loss_rbbox_refine"])
+    # garbage targets blow this up to O(100); sane targets are O(1)
+    assert vals["pointobb"] < 10.0, vals
+    assert abs(vals["pointobb"] - vals["thetaobb"]) < (
+        0.5 * max(vals["thetaobb"], 0.5) + 0.5), vals
+
+
 def test_rroi_refine_grads_flow():
     cfg = _small_cfg()
     cfg["rbbox_head"] = dict(type="RBBoxHead", num_classes=16,

@@ -55,13 +55,9 @@ def main():
     logger.info("env: %s", collect_env())
     logger.info("config: %s", cfg.filename)
 
-    model_cfg = dict(cfg.model)
+    from aidet_tpu.utils.precision import apply_fp16_cfg
+    model_cfg = apply_fp16_cfg(cfg, dict(cfg.model))
     if cfg.get("fp16"):
-        # reference fp16 hook (configs/fp16, core/fp16/hooks.py) ->
-        # bf16 compute on TPU: no loss scaling needed, params stay
-        # fp32 (utils/precision.py rationale)
-        import jax.numpy as jnp
-        model_cfg.setdefault("dtype", jnp.bfloat16)
         logger.info("fp16 config -> bf16 compute dtype")
     model = build_detector(model_cfg, train_cfg=cfg.get("train_cfg"),
                            test_cfg=cfg.get("test_cfg"))
