@@ -170,6 +170,29 @@ def hobb2thetaobb(hobb: jax.Array) -> jax.Array:
     return pointobb2thetaobb(hobb2pointobb(hobb))
 
 
+def hobb_rolls(hobb: jax.Array) -> jax.Array:
+    """All 4 cyclic first-edge representations of the same box,
+    ``[..., 4, 5]``; slot 0 is the input itself.
+
+    The hobb encoding is discontinuous at the best-point-sort flip
+    (``pointobb_best_point_sort``): an infinitesimal rotation swaps
+    which edge is "first", jumping the regression target by O(1)
+    normalized units (tools/analyze_hobb.py quantifies this).  Every
+    roll decodes to the same rectangle through ``hobb2pointobb``, so a
+    sort-robust training loss may regress toward whichever
+    representation is nearest (min-over-rolls) without changing
+    inference semantics.
+    """
+    p = hobb2pointobb(hobb)
+    rolls = jnp.stack([jnp.roll(p, -2 * s, axis=-1) for s in range(4)],
+                      axis=-2)                              # [..., 4, 8]
+    x1, y1 = rolls[..., 0], rolls[..., 1]
+    x2, y2 = rolls[..., 2], rolls[..., 3]
+    x4, y4 = rolls[..., 6], rolls[..., 7]
+    h = jnp.sqrt((x4 - x1) ** 2 + (y4 - y1) ** 2)
+    return jnp.stack([x1, y1, x2, y2, h], axis=-1)
+
+
 def pointobb2hobb(pointobb: jax.Array) -> jax.Array:
     return thetaobb2hobb(pointobb2thetaobb(pointobb))
 

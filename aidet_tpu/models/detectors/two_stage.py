@@ -100,6 +100,10 @@ class TwoStageDetector(nn.Module):
     anchor_scales: Sequence[int] = (8,)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     rbbox_encode: str = "thetaobb"
+    # sort-robust hobb regression: per-sample min over the 4 cyclic
+    # first-edge target representations (core/rboxes.py hobb_rolls) —
+    # removes the best-point-sort cliff; inference is unchanged
+    hobb_robust_loss: bool = False
     ga_target_stds: Sequence[float] = (0.07, 0.07, 0.14, 0.14)
     ga_loc_filter_thr: float = 0.01
     mask_loss_type: str = "bce"   # 'bce' (Mask R-CNN) | 'centermap'
@@ -581,12 +585,29 @@ class TwoStageDetector(nn.Module):
                     sample, rois, gt_rboxes, gt_labels)
             flat_rtgt = jax.tree.map(
                 lambda x: x.reshape((b * r,) + x.shape[2:]), rtgt)
+            alt = None
+            if self.hobb_robust_loss and self.rbbox_encode == "hobb":
+                # sort-robust hobb: regression targets for all 4
+                # first-edge representations of each gt (they decode
+                # identically); the loss takes the per-sample min,
+                # removing the best-point-sort cliff
+                # (core/rboxes.py hobb_rolls)
+                from ...core.rboxes import hobb_rolls
+                g_rolled = hobb_rolls(gt_rboxes)        # [B, G, 4, 5]
+                alt = jnp.stack([
+                    jax.vmap(lambda s, ro, g, gl: rbbox_target(
+                        s, ro, g, gl, "hobb",
+                        pos_weight=rc["pos_weight"]))(
+                        sample, rois, g_rolled[:, :, k], gt_labels)
+                    .bbox_targets.reshape(b * r, -1)
+                    for k in range(4)])                 # [4, N, 5]
             rloss_cls, rloss_bbox = bbox_head_loss(
                 rcls, rreg, flat_rtgt,
                 self._rcnn_cls_loss, self._rcnn_bbox_loss,
                 self._rbbox_head.num_classes,
                 self._rbbox_head.reg_class_agnostic,
-                box_dim=self._rbbox_head.out_dim_reg)
+                box_dim=self._rbbox_head.out_dim_reg,
+                alt_bbox_targets=alt)
             losses["loss_rbbox_cls"] = rloss_cls
             losses["loss_rbbox"] = rloss_bbox
 

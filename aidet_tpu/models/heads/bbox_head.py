@@ -213,7 +213,7 @@ class MaskIoUHead(nn.Module):
 
 def bbox_head_loss(cls_score, bbox_pred, targets, cls_loss, bbox_loss,
                    num_classes: int, reg_class_agnostic: bool = False,
-                   box_dim: int = 4):
+                   box_dim: int = 4, alt_bbox_targets=None):
     """Second-stage loss over one batch of sampled rois.
 
     Parity: BBoxHead.loss (bbox_head.py:100-137): CE over all sampled
@@ -225,6 +225,10 @@ def bbox_head_loss(cls_score, bbox_pred, targets, cls_loss, bbox_loss,
     Args:
       cls_score: [N, C]; bbox_pred: [N, C*box_dim] or [N, box_dim].
       targets: RoiTargets with fields of leading dim N.
+      alt_bbox_targets: optional [K, N, box_dim] stack of equivalent
+        target hypotheses (all decoding to the same geometry); the
+        regression loss becomes the per-sample min over hypotheses —
+        the sort-robust hobb formulation (core/rboxes.py hobb_rolls).
     """
     avg = jnp.maximum(targets.label_weights.sum(), 1.0)
     loss_cls = cls_loss(cls_score, targets.labels,
@@ -240,8 +244,16 @@ def bbox_head_loss(cls_score, bbox_pred, targets, cls_loss, bbox_loss,
     # positive count (BBoxHead.loss uses avg_factor=bbox_targets.size(0);
     # in the padded formulation the valid-sample count is the
     # label-weight sum, since every sampled roi has label weight 1).
-    loss_bbox = bbox_loss(pred, targets.bbox_targets,
-                          weight=targets.bbox_weights, avg_factor=avg)
+    if alt_bbox_targets is None:
+        loss_bbox = bbox_loss(pred, targets.bbox_targets,
+                              weight=targets.bbox_weights,
+                              avg_factor=avg)
+    else:
+        elem = bbox_loss(
+            jnp.broadcast_to(pred[None], alt_bbox_targets.shape),
+            alt_bbox_targets, reduction_override="none")  # [K, N, D]
+        best = elem.sum(-1).min(0)                        # [N]
+        loss_bbox = (best * targets.bbox_weights[..., 0]).sum() / avg
     return loss_cls, loss_bbox
 
 

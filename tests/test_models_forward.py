@@ -138,6 +138,32 @@ def test_rbbox_rcnn_other_encodings(encode, dim):
     assert out["rboxes"].shape == (1, 20, dim)
 
 
+def test_rbbox_rcnn_hobb_robust_loss():
+    """hobb_robust_loss takes a per-sample min over the 4 equivalent
+    target representations, so with identical params/data its
+    loss_rbbox can never exceed the plain hobb loss; everything else
+    is untouched."""
+    from aidet_tpu.core import rboxes as R
+    vals = {}
+    for robust in (False, True):
+        cfg = _small_cfg(
+            rbbox_head=dict(type="RBBoxHead", num_classes=16,
+                            in_channels=64, fc_out_channels=128,
+                            encode="hobb"),
+            rbbox_encode="hobb", hobb_robust_loss=robust)
+        model = build_detector(dict(type="RBBoxRCNN", **cfg))
+        data = demo_inputs(batch=1, with_rbox=True)
+        data["gt_rboxes"] = R.thetaobb2hobb(data["gt_rboxes"])
+        variables, losses = _init_and_loss(model, data)
+        for k, v in losses.items():
+            assert bool(jnp.isfinite(v)), (robust, k)
+        vals[robust] = {k: float(v) for k, v in losses.items()}
+    assert vals[True]["loss_rbbox"] <= vals[False]["loss_rbbox"] + 1e-5
+    for k in vals[False]:
+        if k != "loss_rbbox":
+            assert abs(vals[True][k] - vals[False][k]) < 1e-4, k
+
+
 def test_mask_rcnn_train_and_infer():
     cfg = _small_cfg(
         mask_head=dict(type="FCNMaskHead", num_convs=2, in_channels=64,

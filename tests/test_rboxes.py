@@ -112,6 +112,24 @@ def test_hobb_roundtrip():
     np.testing.assert_allclose(t2[:, 1], t[:, 1], atol=0.5)
 
 
+def test_hobb_rolls_equivalent_and_canonical():
+    """hobb_rolls slot 0 is the input; every roll decodes to the same
+    rectangle (same corner set), so min-over-rolls regression targets
+    are geometry-preserving."""
+    t = random_thetaobbs(32, seed=11)
+    hobb = rboxes.thetaobb2hobb(jnp.asarray(t))
+    rolls = rboxes.hobb_rolls(hobb)                     # [N, 4, 5]
+    np.testing.assert_allclose(np.asarray(rolls[:, 0]),
+                               np.asarray(hobb), rtol=1e-4, atol=1e-3)
+    base = np.sort(np.asarray(
+        rboxes.hobb2pointobb(hobb)).reshape(-1, 4, 2), axis=1)
+    for k in range(1, 4):
+        pk = np.asarray(rboxes.hobb2pointobb(rolls[:, k]))
+        np.testing.assert_allclose(
+            np.sort(pk.reshape(-1, 4, 2), axis=1), base,
+            rtol=1e-3, atol=0.1)
+
+
 def test_thetaobb_delta_roundtrip():
     t = random_thetaobbs(64, seed=8)
     rng = np.random.RandomState(8)
