@@ -124,8 +124,13 @@ def point_assign(points: jax.Array, point_strides: jax.Array,
     gw = gt_boxes[:, 2] - gt_boxes[:, 0]
     gh = gt_boxes[:, 3] - gt_boxes[:, 1]
     gt_scale = jnp.sqrt(jnp.maximum(gw * gh, 1e-6))
-    gt_lvl = jnp.floor(jnp.log2(gt_scale / scale + 1e-6))
     pt_lvl = jnp.log2(point_strides)
+    # clamp the gt level into the pyramid's bracket (PointAssigner
+    # clamps gt_bboxes_lvl to [lvl_min, lvl_max]) — otherwise gts
+    # smaller than the finest stride or larger than the coarsest get
+    # ZERO positive points and silently drop out of the loss
+    gt_lvl = jnp.clip(jnp.floor(jnp.log2(gt_scale / scale + 1e-6)),
+                      pt_lvl.min(), pt_lvl.max())
 
     cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
     cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2

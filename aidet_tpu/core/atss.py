@@ -47,8 +47,9 @@ def atss_assign(anchors: jax.Array, level_sizes: Sequence[int],
     cnt = jnp.maximum(cand.sum(-1), 1)
     c_iou = jnp.where(cand, overlaps, 0.0)
     mean = c_iou.sum(-1) / cnt
+    # Bessel-corrected (n-1), matching torch.std in ATSSAssigner
     var = (jnp.where(cand, (overlaps - mean[:, None]) ** 2, 0.0)
-           .sum(-1) / cnt)
+           .sum(-1) / jnp.maximum(cnt - 1, 1))
     thr = mean + jnp.sqrt(var)                              # [G]
 
     inside = ((ax[None] - gt_boxes[:, None, 0] > 0.01)

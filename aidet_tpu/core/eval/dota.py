@@ -90,13 +90,24 @@ def dota_eval(dets_by_scene: dict, gts_by_scene: dict, classes,
     for c, name in enumerate(classes):
         all_tp, all_fp, all_scores = [], [], []
         num_gts = 0
-        for scene, gt in gts_by_scene.items():
-            gmask = np.asarray(gt["labels"]) == c
-            g = np.asarray(gt["boxes"], np.float32)[gmask] if gmask.any() \
-                else np.zeros((0, dim), np.float32)
-            diff = np.asarray(gt.get("difficult",
-                                     np.zeros(len(gt["labels"]), bool)))
-            gd = diff[gmask] if gmask.any() else np.zeros(0, bool)
+        # union of scene keys: a detected scene with no gt entry must
+        # still contribute its detections as false positives (VOC
+        # semantics) instead of being silently dropped
+        for scene in sorted(set(gts_by_scene) | set(dets_by_scene)):
+            gt = gts_by_scene.get(scene)
+            if gt is not None and len(gt["labels"]):
+                gmask = np.asarray(gt["labels"]) == c
+                g = (np.asarray(gt["boxes"], np.float32)[gmask]
+                     if gmask.any() else np.zeros((0, dim), np.float32))
+                # coerce: an int difficulty column (the natural DOTA
+                # labelTxt parse) under ~ would integer-fancy-index
+                diff = np.asarray(gt.get(
+                    "difficult",
+                    np.zeros(len(gt["labels"]), bool))).astype(bool)
+                gd = diff[gmask] if gmask.any() else np.zeros(0, bool)
+            else:
+                g = np.zeros((0, dim), np.float32)
+                gd = np.zeros(0, bool)
             easy = g[~gd]
             hard = g[gd]
             num_gts += len(easy)

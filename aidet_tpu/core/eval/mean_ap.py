@@ -27,14 +27,27 @@ def bbox_overlaps_np(b1, b2):
 
 
 def quad_overlaps_np(q1, q2):
-    """Polygon IoU between [N,8] and [M,8] quads (host path)."""
-    if len(q1) == 0 or len(q2) == 0:
-        return np.zeros((len(q1), len(q2)), np.float32)
+    """Polygon IoU between [N,8] and [M,8] quads (host path).
+
+    Pads both sides up to power-of-two buckets before the jitted
+    polygon-clipping kernel: a full DOTA eval calls this with
+    thousands of distinct ragged (N, M) shapes, and an unbucketed call
+    would trigger a fresh XLA compile for every one.
+    """
+    n, m = len(q1), len(q2)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.float32)
     import jax.numpy as jnp
 
     from ..riou import quad_overlaps
-    return np.asarray(quad_overlaps(jnp.asarray(np.asarray(q1, np.float32)),
-                                    jnp.asarray(np.asarray(q2, np.float32))))
+    np2 = 1 << (n - 1).bit_length()
+    mp2 = 1 << (m - 1).bit_length()
+    q1p = np.zeros((np2, 8), np.float32)
+    q1p[:n] = np.asarray(q1, np.float32)
+    q2p = np.zeros((mp2, 8), np.float32)
+    q2p[:m] = np.asarray(q2, np.float32)
+    out = np.asarray(quad_overlaps(jnp.asarray(q1p), jnp.asarray(q2p)))
+    return out[:n, :m]
 
 
 def average_precision(recalls, precisions, mode="area"):
@@ -123,10 +136,16 @@ def eval_map(det_results, gt_results, iou_thr=0.5, use_07_metric=False,
             mask = np.asarray(g["labels"]) == c + 1
             gt = np.asarray(g["boxes"])[mask] if mask.any() else \
                 np.zeros((0, det.shape[-1] - 1 if det.size else 4))
-            ig_mask = (np.asarray(g.get("ignore_labels", [])) == c + 1
-                       if len(g.get("ignore", [])) else np.zeros(0, bool))
-            ig = (np.asarray(g["ignore"])[ig_mask]
-                  if len(g.get("ignore", [])) else np.zeros((0, gt.shape[-1] if gt.size else 4)))
+            n_ig = len(g.get("ignore", []))
+            if n_ig and len(g.get("ignore_labels", [])):
+                ig_mask = np.asarray(g["ignore_labels"]) == c + 1
+            else:
+                # no ignore_labels → class-agnostic ignore regions
+                # (the VOC 'difficult' convention): count them for
+                # every class
+                ig_mask = np.ones(n_ig, bool)
+            ig = (np.asarray(g["ignore"])[ig_mask] if n_ig
+                  else np.zeros((0, gt.shape[-1] if gt.size else 4)))
             num_gts += len(gt)
             tp, fp = tpfp_default(det, gt, ig, iou_thr, iou_fn)
             cls_dets.append(det)

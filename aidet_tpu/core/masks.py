@@ -23,11 +23,15 @@ def paste_mask(mask_crop: np.ndarray, box, img_hw, thr: float = 0.5):
     import cv2
     h, w = img_hw
     x1, y1, x2, y2 = [int(round(float(v))) for v in box[:4]]
+    canvas = np.zeros((h, w), np.uint8)
+    # a box entirely outside the canvas (possible for TTA/offset-mapped
+    # boxes) pastes nothing instead of raising a broadcast error
+    if x2 < 0 or y2 < 0 or x1 > w - 1 or y1 > h - 1:
+        return canvas
     x1, y1 = max(x1, 0), max(y1, 0)
     x2, y2 = min(x2, w - 1), min(y2, h - 1)
     bw, bh = max(x2 - x1 + 1, 1), max(y2 - y1 + 1, 1)
     resized = cv2.resize(mask_crop.astype(np.float32), (bw, bh))
-    canvas = np.zeros((h, w), np.uint8)
     canvas[y1:y1 + bh, x1:x1 + bw] = (resized > thr).astype(np.uint8)
     return canvas
 
@@ -45,11 +49,16 @@ def mask_crop_to_thetaobb(mask_crop: np.ndarray, box, thr: float = 0.5):
     binary = mask_crop > thr
     if not binary.any():
         return None
+    # largest 4-connected blob (parity: wwtool segm2rbbox fits the
+    # LARGEST contour) — stray above-threshold pixels in a far corner
+    # would otherwise inflate the min-area rect unboundedly
+    import cv2
+    n_lbl, lbl, stats, _ = cv2.connectedComponentsWithStats(
+        binary.astype(np.uint8), connectivity=4)
+    if n_lbl > 2:
+        best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        binary = lbl == best
     ys, xs = np.nonzero(binary)
-    # largest connected component via simple flood grouping (grid BFS)
-    # — for detection masks one blob dominates; use all pixels, which
-    # matches minAreaRect over the union closely enough for rect
-    # extraction and avoids an opencv dependency here.
     x1, y1, x2, y2 = [float(v) for v in box[:4]]
     sx = max(x2 - x1 + 1, 1.0) / s_w
     sy = max(y2 - y1 + 1, 1.0) / s_h

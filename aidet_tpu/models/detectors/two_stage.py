@@ -485,6 +485,17 @@ class TwoStageDetector(nn.Module):
                 return FixedSample(order, is_pos, is_pos | neg[order],
                                    jnp.where(is_pos,
                                              res.gt_inds[order] - 1, -1))
+            if rc.get("sampler", "random") == "combined":
+                # Libra R-CNN recipe (CombinedSampler):
+                # instance-balanced positives + IoU-balanced negatives
+                from ...core.sample import sample_fixed_combined
+                return sample_fixed_combined(
+                    k, res.gt_inds, res.max_overlaps,
+                    rc["num_samples"], rc["pos_fraction"],
+                    rc["neg_pos_ub"], num_gts=gt_i.shape[0],
+                    floor_thr=rc.get("floor_thr", -1.0),
+                    floor_fraction=rc.get("floor_fraction", 0.0),
+                    num_bins=rc.get("num_bins", 3))
             return sample_fixed(k, res.gt_inds, rc["num_samples"],
                                 rc["pos_fraction"], rc["neg_pos_ub"])
 

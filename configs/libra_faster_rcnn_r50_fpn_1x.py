@@ -12,6 +12,13 @@ model = dict(
     img_size=1024)
 # note: stack BFP after FPN by wrapping in apis or a composed neck;
 # the BFP module itself lives at aidet_tpu.models.necks.BFP
+# Libra sampling (parity: configs/libra_rcnn CombinedSampler —
+# InstanceBalancedPosSampler + IoUBalancedNegSampler(floor_thr=-1,
+# floor_fraction=0, num_bins=3))
+train_cfg = dict(
+    rcnn=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
+              num_samples=512, pos_fraction=0.25, sampler="combined",
+              floor_thr=-1.0, floor_fraction=0.0, num_bins=3))
 data = dict(
     train=dict(type="CocoDataset", ann_file="data/coco/train.json",
                img_prefix="data/coco/images"),

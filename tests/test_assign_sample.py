@@ -213,3 +213,46 @@ def test_mask_target_crops():
     assert crop[:, -3:].mean() < 0.1  # right side ~0
     # negative slot zeroed
     assert (crops[1 - pos_row] == 0).all()
+
+
+def test_point_assign_clamps_gt_level_into_pyramid():
+    """A gt smaller than the finest stride bracket must still be
+    assigned to the finest level (PointAssigner clamps gt level to
+    [lvl_min, lvl_max]); pre-fix it received ZERO positives."""
+    from aidet_tpu.core.assign import point_assign
+    # one point per level at the gt center, strides 8..128
+    strides = np.array([8, 16, 32, 64, 128], np.float32)
+    points = jnp.asarray(np.tile([[20.0, 20.0]], (5, 1)))
+    gt = jnp.asarray([[10.0, 10.0, 30.0, 30.0]])     # 20x20: sqrt-area 20
+    res = point_assign(points, jnp.asarray(strides), gt,
+                       jnp.ones(1, bool), jnp.asarray([3]), scale=4.0)
+    assigned = np.asarray(res.gt_inds)
+    assert assigned[0] == 1, assigned          # stride-8 point claims it
+    assert (assigned[1:] == 0).all(), assigned
+    # and a huge gt clamps to the coarsest level
+    big = jnp.asarray([[0.0, 0.0, 4000.0, 4000.0]])
+    res2 = point_assign(points, jnp.asarray(strides), big,
+                        jnp.ones(1, bool), jnp.asarray([3]), scale=4.0)
+    assert np.asarray(res2.gt_inds)[4] == 1
+
+
+def test_sample_fixed_combined_budget_and_balance():
+    """Combined (Libra) sampling: pos budget respected, negatives come
+    from the IoU-balanced strategy, layout matches FixedSample."""
+    from aidet_tpu.core.sample import sample_fixed_combined
+    rs = np.random.RandomState(0)
+    n = 256
+    assigned = np.zeros(n, np.int32)
+    assigned[:10] = rs.randint(1, 4, 10)       # 10 positives, 3 gts
+    overlaps = rs.uniform(0, 0.5, n).astype(np.float32)
+    overlaps[:10] = rs.uniform(0.5, 1.0, 10)
+    s = sample_fixed_combined(jax.random.PRNGKey(0),
+                              jnp.asarray(assigned),
+                              jnp.asarray(overlaps), 64, 0.25,
+                              num_gts=3)
+    is_pos = np.asarray(s.is_pos)
+    assert is_pos.sum() <= 16
+    assert np.asarray(s.valid).sum() <= 64
+    # every sampled positive really is assigned
+    inds = np.asarray(s.inds)
+    assert (assigned[inds[is_pos]] > 0).all()

@@ -116,3 +116,37 @@ def test_dota_eval_miss_is_zero():
                        labels=np.array([0]))}
     mAP, _ = dota_eval(dets, gts, ("harbor",), task="obb")
     assert mAP == 0.0
+
+
+def test_eval_map_class_agnostic_ignore():
+    """ignore regions without ignore_labels count for every class (the
+    VOC 'difficult' convention) instead of crashing."""
+    from aidet_tpu.core.eval.mean_ap import eval_map
+    det = [[np.array([[10, 10, 50, 30, 0.9], [200, 200, 240, 230, 0.8]],
+                     np.float32)]]
+    gts = [dict(boxes=np.array([[10., 10., 50., 30.]]),
+                labels=np.array([1]),
+                ignore=np.array([[200., 200., 240., 230.]]))]
+    mAP, res = eval_map(det, gts, num_classes=1)
+    assert abs(mAP - 1.0) < 1e-6           # ignored det is neither tp nor fp
+
+
+def test_dota_eval_int_difficult_and_orphan_scene():
+    """int difficulty columns coerce to bool (no fancy-index corruption)
+    and detections in scenes absent from the gt count as FP."""
+    quad = np.array([[10., 10., 50., 10., 50., 30., 10., 30.]])
+    gts = {"P1": dict(boxes=np.concatenate([quad, quad + 100]),
+                      labels=np.array([0, 0]),
+                      difficult=np.array([0, 1]))}   # ints, not bools
+    dets = {"P1": dict(boxes=quad, scores=np.array([0.9]),
+                       labels=np.array([0]))}
+    mAP, _ = dota_eval(dets, gts, ("harbor",), task="obb")
+    assert abs(mAP - 1.0) < 1e-6   # easy gt matched; hard gt is neutral
+
+    # orphan-scene detections must register as false positives
+    dets2 = {"P1": dict(boxes=quad, scores=np.array([0.9]),
+                        labels=np.array([0])),
+             "P_orphan": dict(boxes=quad, scores=np.array([0.95]),
+                              labels=np.array([0]))}
+    mAP2, _ = dota_eval(dets2, gts, ("harbor",), task="obb")
+    assert mAP2 < 1.0 - 1e-6, mAP2

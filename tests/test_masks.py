@@ -51,3 +51,27 @@ def test_masks_to_thetaobbs_batch_and_empty():
     assert out[0, 2] > 0          # fitted
     assert (out[1] == 0).all()    # empty mask
     assert (out[2] == 0).all()    # invalid
+
+
+def test_paste_mask_box_fully_outside():
+    """A box entirely off-canvas (TTA/offset-mapped) pastes nothing
+    instead of raising a broadcast error."""
+    crop = np.ones((8, 8), np.float32)
+    for box in ((1030, 10, 1040, 50), (-40, -30, -5, -2),
+                (10, 1030, 50, 1040)):
+        canvas = paste_mask(crop, box, (1024, 1024))
+        assert canvas.sum() == 0
+
+
+def test_mask_to_thetaobb_largest_component_only():
+    """Stray above-threshold pixels far from the main blob must not
+    inflate the fitted OBB (largest-connected-component extraction,
+    parity: wwtool segm2rbbox largest contour)."""
+    crop = np.zeros((28, 28), np.float32)
+    crop[4:12, 4:20] = 1.0          # main blob: 16x8
+    crop[26, 26] = 1.0              # stray pixel in the far corner
+    box = (0.0, 0.0, 27.0, 27.0)
+    obb = mask_crop_to_thetaobb(crop, box)
+    assert obb is not None
+    _, _, w, h, _ = obb
+    assert max(w, h) < 20, (w, h)   # would be ~32 if the stray counted

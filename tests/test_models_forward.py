@@ -138,6 +138,20 @@ def test_rbbox_rcnn_other_encodings(encode, dim):
     assert out["rboxes"].shape == (1, 20, dim)
 
 
+def test_faster_rcnn_combined_sampler():
+    """Libra recipe: CombinedSampler (instance-balanced pos +
+    IoU-balanced neg) dispatches from train_cfg.rcnn.sampler."""
+    cfg = _small_cfg(train_cfg=dict(
+        rpn_proposal=dict(nms_pre=200, nms_post=100, max_num=100),
+        rcnn=dict(num_samples=32, mask_size=16, sampler="combined",
+                  floor_thr=-1.0, floor_fraction=0.0, num_bins=3)))
+    model = build_detector(dict(type="FasterRCNN", **cfg))
+    data = demo_inputs(batch=1)
+    variables, losses = _init_and_loss(model, data)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+
+
 def test_rbbox_rcnn_hobb_robust_loss():
     """hobb_robust_loss takes a per-sample min over the 4 equivalent
     target representations, so with identical params/data its
