@@ -47,13 +47,16 @@ _TEMPLATE_CACHE: dict = {}
 
 def _template(size=512, factor=4.0, rate=0.0, kind="centerness"):
     """kind: 'centerness' | 'weight' (255-centerness) | 'reverse'."""
-    key = (size, factor, rate, kind)
+    # weight/reverse ignore `rate` — key them without it so distinct
+    # rates share one cached template (and skip the wasted base build)
+    key = (size, factor, rate if kind == "centerness" else 0.0, kind)
     if key not in _TEMPLATE_CACHE:
-        t = generate_centerness_image(size, factor, rate)
         if kind == "weight":         # loading.py:120-123
             t = (1.0 - generate_centerness_image(size, factor, 0.0))
         elif kind == "reverse":      # loading.py:125-128
             t = generate_centerness_image(size, factor, 0.0)
+        else:
+            t = generate_centerness_image(size, factor, rate)
         _TEMPLATE_CACHE[key] = t.astype(np.float32)
     return _TEMPLATE_CACHE[key]
 

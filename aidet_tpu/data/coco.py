@@ -91,6 +91,14 @@ class CocoDataset:
             segs.append(a.get("segmentation"))
             if "pointobb" in a:
                 pointobbs.append(a["pointobb"])
+            elif pointobbs or any("pointobb" in a2 for a2 in anns):
+                # keep pointobbs index-aligned with boxes/labels when
+                # the dataset mixes OBB and HBB annotations: derive
+                # the missing entry from the HBB corners — a silent
+                # length mismatch would pair every later pointobb
+                # with the wrong instance
+                pointobbs.append([box[0], box[1], box[2], box[1],
+                                  box[2], box[3], box[0], box[3]])
 
         def arr(x, d, dt=np.float32):
             return (np.asarray(x, dt) if x

@@ -17,8 +17,12 @@ class InstaBoost:
     def __init__(self, action_candidate=("normal", "horizontal", "skip"),
                  action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
                  theta=(-1, 1), color_prob=0.5, hflag=False,
-                 aug_ratio=0.5, allow_identity=False):
+                 aug_ratio=0.5, allow_identity=False, seed=0):
         self.aug_ratio = aug_ratio
+        # own seeded stream like every other pipeline transform —
+        # the global np.random would break run reproducibility
+        import numpy as np
+        self.rng = np.random.RandomState(seed)
         try:
             import instaboostfast as instaboost
             self._cfg = instaboost.InstaBoostConfig(
@@ -44,8 +48,7 @@ class InstaBoost:
                               "(allow_identity=True)")
                 _WARNED = True
             return img, anns
-        import numpy as np
-        if np.random.rand() < self.aug_ratio:
+        if self.rng.rand() < self.aug_ratio:
             anns, img = self._instaboost.get_new_data(
                 anns, img, self._cfg, background=None)
         return img, anns

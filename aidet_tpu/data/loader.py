@@ -2,10 +2,12 @@
 
 Replaces the reference's torch DataLoader + GroupSampler stack
 (mmdet/datasets/builder.py:61-128, samplers/group_sampler.py): epoch-
-seeded deterministic shuffle inside aspect-ratio groups, per-host
-sharding by process index (the jax.process_index() analog of
-DistributedGroupSampler rank sharding), threaded decode workers (cv2
-releases the GIL).
+seeded deterministic shuffle inside aspect-ratio groups with each
+group padded to a batch multiple (so every batch is single-group),
+per-host sharding by WHOLE batches padded to a shard-uniform count
+(the DistributedGroupSampler rank-padding invariant — unequal per-host
+batch counts would deadlock the per-step psum collectives), threaded
+decode workers (cv2 releases the GIL).
 """
 
 from __future__ import annotations
@@ -37,27 +39,49 @@ class GroupedLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _indices(self):
+    def _chunks(self):
+        """This shard's list of batch-index chunks for the epoch."""
         n = len(self.dataset)
         idx = np.arange(n)
+        bs = self.batch_size
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             flags = getattr(self.dataset, "flag",
                             np.zeros(n, np.uint8))
-            # shuffle within aspect-ratio groups then interleave groups
-            # (GroupSampler parity, group_sampler.py:10-47)
-            out = []
+            # shuffle within aspect-ratio groups, pad each group to a
+            # batch multiple (GroupSampler parity,
+            # group_sampler.py:10-47) so every chunk is single-group,
+            # then shuffle the chunk order
+            chunks = []
             for g in np.unique(flags):
                 sel = idx[flags == g]
                 rng.shuffle(sel)
-                out.append(sel)
-            idx = np.concatenate(out)
-            chunks = [idx[i:i + self.batch_size]
-                      for i in range(0, len(idx), self.batch_size)]
+                extra = -len(sel) % bs
+                if extra:
+                    sel = np.concatenate([sel, sel[:extra]])
+                chunks += [sel[i:i + bs]
+                           for i in range(0, len(sel), bs)]
             order = rng.permutation(len(chunks))
-            idx = np.concatenate([chunks[i] for i in order])
-        idx = idx[self.shard_id::self.num_shards]
-        return idx
+            chunks = [chunks[i] for i in order]
+        else:
+            nb = n // bs if self.drop_last and n >= bs \
+                else -(-n // bs)
+            chunks = [idx[i * bs:(i + 1) * bs] for i in range(nb)]
+        if self.num_shards > 1 and chunks:
+            # shard by WHOLE batches, padded so every shard sees the
+            # same batch count (DistributedGroupSampler's rank-uniform
+            # total_size): a host with one extra batch would block
+            # forever in that step's gradient psum, and differing
+            # len(loader) values silently desync the LR schedules
+            extra = -len(chunks) % self.num_shards
+            chunks = chunks + chunks[:extra]
+            chunks = chunks[self.shard_id::self.num_shards]
+        return chunks
+
+    def _indices(self):
+        chunks = self._chunks()
+        return (np.concatenate(chunks) if chunks
+                else np.zeros(0, np.int64))
 
     def _load(self, i):
         import cv2
@@ -69,18 +93,13 @@ class GroupedLoader:
         return self.pipeline(img, self.dataset.parse_anns(i))
 
     def __iter__(self):
-        idx = self._indices()
         bs = self.batch_size
-        nb = len(idx) // bs if self.drop_last else -(-len(idx) // bs)
         with ThreadPoolExecutor(self.num_workers) as pool:
-            for b in range(nb):
-                chunk = idx[b * bs:(b + 1) * bs]
+            for chunk in self._chunks():
                 samples = list(pool.map(self._load, chunk))
                 while len(samples) < bs:   # pad final partial batch
                     samples.append(samples[-1])
                 yield collate_batch(samples)
 
     def __len__(self):
-        n = len(self._indices())
-        return n // self.batch_size if self.drop_last \
-            else -(-n // self.batch_size)
+        return len(self._chunks())

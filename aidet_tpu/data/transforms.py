@@ -47,6 +47,9 @@ class PhotoMetricDistortion:
                            cv2.COLOR_HSV2BGR).astype(np.float32)
         if mode == 0 and rng.randint(2):
             img *= rng.uniform(*self.contrast_range)
+        if rng.randint(2):
+            # final random channel swap (transforms.py:627-629)
+            img = img[..., rng.permutation(3)]
         return np.clip(img, 0, 255).astype(np.uint8)
 
 

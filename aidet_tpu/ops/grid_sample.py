@@ -52,24 +52,40 @@ def grid_sample(x: jax.Array, grid: jax.Array,
 
     def sample_one(img, ys, xs):
         if padding_mode == "border":
-            oob = jnp.zeros(ys.shape, bool)
-        else:
-            oob = (ys <= -1.0) | (ys >= h) | (xs <= -1.0) | (xs >= w)
-        y = jnp.clip(ys, 0.0, h - 1)
-        xc = jnp.clip(xs, 0.0, w - 1)
-        y0 = jnp.floor(y)
-        x0 = jnp.floor(xc)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        ly = (y - y0)[..., None]
-        lx = (xc - x0)[..., None]
-        y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
-        y1i, x1i = y1.astype(jnp.int32), x1.astype(jnp.int32)
-        v = (img[y0i, x0i] * (1 - ly) * (1 - lx)
-             + img[y0i, x1i] * (1 - ly) * lx
-             + img[y1i, x0i] * ly * (1 - lx)
-             + img[y1i, x1i] * ly * lx)
-        return jnp.where(oob[..., None], 0.0, v)
+            y = jnp.clip(ys, 0.0, h - 1)
+            xc = jnp.clip(xs, 0.0, w - 1)
+            y0 = jnp.floor(y)
+            x0 = jnp.floor(xc)
+            y1 = jnp.minimum(y0 + 1, h - 1)
+            x1 = jnp.minimum(x0 + 1, w - 1)
+            ly = (y - y0)[..., None]
+            lx = (xc - x0)[..., None]
+            y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+            y1i, x1i = y1.astype(jnp.int32), x1.astype(jnp.int32)
+            return (img[y0i, x0i] * (1 - ly) * (1 - lx)
+                    + img[y0i, x1i] * (1 - ly) * lx
+                    + img[y1i, x0i] * ly * (1 - lx)
+                    + img[y1i, x1i] * ly * lx)
+        # zeros: true bilinear-with-zero-padding (torch grid_sampler
+        # parity) — each tap outside the image contributes 0, so the
+        # value FADES linearly to 0 across the border instead of
+        # holding the border value and dropping discontinuously
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        ly = (ys - y0)[..., None]
+        lx = (xs - x0)[..., None]
+
+        def tap(yi, xi):
+            valid = ((yi >= 0) & (yi <= h - 1)
+                     & (xi >= 0) & (xi <= w - 1))
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            return img[yc, xc] * valid[..., None]
+
+        return (tap(y0, x0) * (1 - ly) * (1 - lx)
+                + tap(y0, x0 + 1) * (1 - ly) * lx
+                + tap(y0 + 1, x0) * ly * (1 - lx)
+                + tap(y0 + 1, x0 + 1) * ly * lx)
 
     return jax.vmap(sample_one)(x, fy, fx)
 

@@ -123,6 +123,16 @@ def roi_align_band(feats, rois_b, out_size=7,
     from .roi_align_pallas import _prepare
 
     feats = list(feats)
+    if feats[-1].shape[1] > WIN_Y or feats[-1].shape[2] > WIN_X:
+        # coarsest level larger than one window: the forced fit at the
+        # top level would silently zero-weight the overflow (see
+        # roi_align_pallas) — XLA fallback for img_size > 1024
+        from .roi_align import batched_multilevel_roi_align
+        return batched_multilevel_roi_align(
+            feats, rois_b, out_size=out_size,
+            featmap_strides=tuple(featmap_strides),
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            aligned=aligned)
     num_levels = len(featmap_strides)
     b, r = rois_b.shape[:2]
     k = b * r

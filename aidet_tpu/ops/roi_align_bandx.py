@@ -126,6 +126,17 @@ def roi_align_bandx(feats, rois_b, out_size=7,
     from .roi_align_pallas import _prepare, _weights_1d
 
     feats = list(feats)
+    if feats[-1].shape[1] > BAND_H:  # x is full-width by construction
+        # a coarsest level taller than one band cannot guarantee the
+        # forced-fit rois' 1-D y weights stay inside the 48-row band
+        # (spans > BAND_H - BAND_S rows starting late in a band
+        # overflow) — XLA fallback for img_size > 1536
+        from .roi_align import batched_multilevel_roi_align
+        return batched_multilevel_roi_align(
+            feats, rois_b, out_size=out_size,
+            featmap_strides=tuple(featmap_strides),
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            aligned=aligned)
     num_levels = len(featmap_strides)
     b, r = rois_b.shape[:2]
     k = b * r

@@ -351,7 +351,21 @@ def roi_align_pallas(feats, rois_b, out_size=7,
     (up to level-bumping of extreme-aspect rois whose span would not
     fit a WIN² window — those sample one level coarser).
     """
-    return _roi_align_pallas_fwd(list(feats), rois_b, out_size,
+    feats = list(feats)
+    if feats[-1].shape[1] > WIN_Y or feats[-1].shape[2] > WIN_X:
+        # the level bump has nowhere to go past the coarsest level, so
+        # the kernel's "coarsest always fits" invariant requires the
+        # coarsest map to fit inside one window. img_size > 1024 (e.g.
+        # the 1280 multi-scale configs) breaks it — a near-full-patch
+        # roi would silently pool zeros beyond the window. Static
+        # (trace-time) fallback to the XLA formulation.
+        from .roi_align import batched_multilevel_roi_align
+        return batched_multilevel_roi_align(
+            feats, rois_b, out_size=out_size,
+            featmap_strides=tuple(featmap_strides),
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            aligned=aligned)
+    return _roi_align_pallas_fwd(feats, rois_b, out_size,
                                  tuple(featmap_strides), sampling_ratio,
                                  finest_scale, aligned)
 

@@ -255,7 +255,18 @@ def rroi_align_pallas(feats, rrois_b, out_size=7,
     numerics; backward = exact XLA formulation via custom_vjp).
     feats: list of [B, H, W, C]; rrois_b: [B, R, 5].
     """
-    return _rroi_fwd(list(feats), rrois_b, out_size,
+    feats = list(feats)
+    if feats[-1].shape[1] > WIN_Y or feats[-1].shape[2] > WIN_X:
+        # coarsest level larger than one window: the forced fit at the
+        # top level silently zero-weights the overflow (see
+        # roi_align_pallas) — XLA fallback for img_size > 1024
+        from .rroi_align import batched_rroi_align
+        return batched_rroi_align(
+            feats, rrois_b, out_size=out_size,
+            featmap_strides=tuple(featmap_strides),
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            aligned=aligned)
+    return _rroi_fwd(feats, rrois_b, out_size,
                      tuple(featmap_strides), sampling_ratio,
                      finest_scale, aligned)
 

@@ -105,3 +105,27 @@ def test_masked_conv():
     out = np.asarray(masked_conv2d(x, mask, w))
     assert out[0, 3, 3].sum() > 0
     assert out[0, 0, 0].sum() == 0
+
+
+def test_grid_sample_matches_torch_zeros_padding():
+    """Torch-parity of padding_mode='zeros': taps outside the image
+    contribute 0, so values fade linearly across the border (the old
+    impl clamped, holding the border value)."""
+    import torch
+    import torch.nn.functional as F
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 9, 11, 3).astype(np.float32)
+    # grid straddling the borders on purpose
+    gy, gx = np.meshgrid(np.linspace(-1.4, 1.4, 13),
+                         np.linspace(-1.4, 1.4, 15), indexing="ij")
+    grid = np.stack([gx, gy], -1).astype(np.float32)
+    grid = np.tile(grid[None], (2, 1, 1, 1))
+    for align in (False, True):
+        ours = np.asarray(grid_sample(jnp.asarray(x), jnp.asarray(grid),
+                                      align_corners=align))
+        ref = F.grid_sample(torch.from_numpy(x).permute(0, 3, 1, 2),
+                            torch.from_numpy(grid),
+                            mode="bilinear", padding_mode="zeros",
+                            align_corners=align)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

@@ -297,3 +297,45 @@ def test_coco_dataset_exclude_small(tmp_path):
     # without the filter both survive
     ds2 = CocoDataset(ann_file=str(p), filter_empty=False)
     assert len(ds2.parse_anns(0)["bboxes"]) == 2
+
+
+def test_grouped_loader_shard_uniform_and_single_group():
+    """Sharded loaders must expose IDENTICAL batch counts (a host with
+    one extra batch deadlocks the per-step psum), and shuffled batches
+    must be single-aspect-group (GroupSampler parity)."""
+    from aidet_tpu.data.loader import GroupedLoader
+
+    class DS:
+        def __init__(self, n, flags):
+            self.n = n
+            self.flag = np.asarray(flags, np.uint8)
+            self.img_infos = [dict(height=8, width=8)] * n
+
+        def __len__(self):
+            return self.n
+
+        def img_path(self, i):
+            return "/nonexistent.png"
+
+        def parse_anns(self, i):
+            return dict(bboxes=np.zeros((0, 4), np.float32),
+                        labels=np.zeros(0, np.int32),
+                        bboxes_ignore=np.zeros((0, 4), np.float32))
+
+    # 1007 samples, 2 groups, 2 shards, batch 2: counts must match
+    ds = DS(1007, [0] * 500 + [1] * 507)
+    pipe = lambda img, anns: dict(imgs=np.zeros((4, 4, 3), np.float32))
+    loaders = [GroupedLoader(ds, pipe, 2, seed=3, num_shards=2,
+                             shard_id=s) for s in (0, 1)]
+    assert len(loaders[0]) == len(loaders[1])
+    # every chunk is single-group
+    for ld in loaders:
+        for chunk in ld._chunks():
+            groups = set(ds.flag[chunk].tolist())
+            assert len(groups) == 1, chunk
+    # union of both shards covers every index at least once
+    seen = set()
+    for ld in loaders:
+        for chunk in ld._chunks():
+            seen.update(chunk.tolist())
+    assert len(seen) == 1007

@@ -148,3 +148,45 @@ def test_band_kernel_mask_size(monkeypatch):
     out = np.asarray(roi_align_band(feats, rois, 14, (4, 8, 16, 32)),
                      np.float32)
     np.testing.assert_allclose(out, ref, atol=0.05)
+
+
+def test_big_image_falls_back_to_xla(monkeypatch):
+    """img_size > 1024 (coarsest map taller than one window) must take
+    the XLA path: the kernel's forced fit at the top level would
+    silently zero-weight the overflow rows of near-full-patch rois."""
+    from jax.experimental import pallas as pl
+
+    def boom(*a, **k):
+        raise AssertionError("pallas_call must not run for big images")
+    import aidet_tpu.ops.roi_align_pallas as rap
+    import aidet_tpu.ops.roi_align_band as rab
+    import aidet_tpu.ops.roi_align_bandx as rabx
+    import aidet_tpu.ops.rroi_align_pallas as rrap
+    for m in (rap, rab, rabx, rrap):
+        monkeypatch.setattr(m.pl, "pallas_call", boom, raising=True)
+
+    b, c = 1, 8
+    sizes = [320, 160, 80, 40]                    # img 1280, strides 4..32
+    feats = [jnp.ones((b, s, s, c), jnp.bfloat16) for s in sizes]
+    rois = jnp.asarray([[[8.0, 8.0, 1240.0, 1240.0]]])  # near-full patch
+    out = rap.roi_align_pallas(feats, rois, 7)
+    ref = __import__(
+        "aidet_tpu.ops.roi_align", fromlist=["x"]
+    ).batched_multilevel_roi_align(feats, rois, out_size=7)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-3)
+    # every pooled bin of a full-image roi on an all-ones map is ~1 —
+    # the pre-fix kernel pooled ZEROS beyond the 32-row window
+    assert float(np.asarray(out, np.float32).min()) > 0.9
+    out_b = rab.roi_align_band(feats, rois, 7)
+    np.testing.assert_allclose(np.asarray(out_b, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-3)
+    rrois = jnp.asarray([[[624.0, 624.0, 1200.0, 1200.0, -0.4]]])
+    out_r = rrap.rroi_align_pallas(feats, rrois, 7)
+    assert np.isfinite(np.asarray(out_r, np.float32)).all()
+    # bandx guard triggers at coarsest > 48 rows (img > 1536)
+    sizes2 = [512, 256, 128, 64]
+    feats2 = [jnp.ones((b, s, s, c), jnp.bfloat16) for s in sizes2]
+    rois2 = jnp.asarray([[[8.0, 8.0, 2000.0, 2000.0]]])
+    out_x = rabx.roi_align_bandx(feats2, rois2, 7)
+    assert float(np.asarray(out_x, np.float32).min()) > 0.9
