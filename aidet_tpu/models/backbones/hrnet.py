@@ -92,9 +92,11 @@ class HRNet(nn.Module):
         x = conv(64, 3, 2, 1, "stem2", self.dtype)(x)
         x = FrozenBN(dtype=self.dtype, name="stem_bn2")(x)
         x = nn.relu(x)
-        # stage 1: 4 bottlenecks at 1/4 res
+        # stage 1: 4 bottlenecks at 1/4 res, num_channels=64 → 256-dim
+        # output (reference HRNet stage1; pretrained checkpoints map
+        # onto this tree only at the reference width)
         for k in range(4):
-            x = Bottleneck(planes=16, downsample=(k == 0),
+            x = Bottleneck(planes=64, downsample=(k == 0),
                            dtype=self.dtype, name=f"layer1_block{k}")(x)
 
         # transitions + stages 2..4

@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..registry import BACKBONES
@@ -21,16 +22,20 @@ class XBottleneck(nn.Module):
     base_width: int = 4
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
+    style: str = "pytorch"
 
     @nn.compact
     def __call__(self, x):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        # caffe style strides conv1, pytorch style strides the 3x3
+        s1, s2 = ((self.stride, 1) if self.style == "caffe"
+                  else (1, self.stride))
         identity = x
-        out = conv(width, 1, 1, 1, "conv1", self.dtype)(x)
+        out = conv(width, 1, s1, 1, "conv1", self.dtype)(x)
         out = FrozenBN(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         pad = self.dilation
-        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+        out = nn.Conv(width, (3, 3), strides=(s2, s2),
                       padding=[(pad, pad), (pad, pad)],
                       kernel_dilation=(self.dilation, self.dilation),
                       feature_group_count=self.groups, use_bias=False,
@@ -70,6 +75,9 @@ class ResNeXt(nn.Module):
         x = FrozenBN(dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.frozen_stages >= 0:
+            # in-graph requires_grad=False on the stem (resnet.py:296)
+            x = jax.lax.stop_gradient(x)
         outs = []
         for i in range(self.num_stages):
             planes = self.base_channels * 2 ** i
@@ -79,7 +87,10 @@ class ResNeXt(nn.Module):
                     stride=self.strides[i] if b == 0 else 1,
                     dilation=self.dilations[i], downsample=(b == 0),
                     groups=self.groups, base_width=self.base_width,
+                    style=self.style,
                     dtype=self.dtype, name=f"layer{i + 1}_block{b}")(x)
+            if i + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -283,10 +283,13 @@ class CascadeRCNN(nn.Module):
             losses[f"s{stage}.loss_cls"] = lw * self._cls_loss(
                 cls_score, flat_tgt.labels,
                 weight=flat_tgt.label_weights, avg_factor=avg)
-            pos_avg = jnp.maximum(flat_tgt.bbox_weights[..., 0].sum(), 1.0)
+            # regression averaged by the TOTAL sampled-roi count, like
+            # BBoxHead.loss (avg_factor=bbox_targets.size(0)) and this
+            # repo's bbox_head_loss — a positive-count average would
+            # make every stage's reg gradient ~1/pos_fraction stronger
             losses[f"s{stage}.loss_bbox"] = lw * self._reg_loss(
                 bbox_pred, flat_tgt.bbox_targets,
-                weight=flat_tgt.bbox_weights, avg_factor=pos_avg)
+                weight=flat_tgt.bbox_weights, avg_factor=avg)
 
             # refined boxes (no grad), clipped to per-image shapes
             refined = None

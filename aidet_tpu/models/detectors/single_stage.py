@@ -80,11 +80,14 @@ class SingleStageDetector(nn.Module):
         from ..builder import build_loss
         cls_cfg = dict(self.loss_cls or dict(
             type="FocalLoss", gamma=2.0, alpha=0.25))
-        if not cls_cfg.pop("use_sigmoid", True):
+        if not cls_cfg.get("use_sigmoid", True):
             raise ValueError(
                 "SingleStageDetector heads are sigmoid-cls "
                 "(cls_out_channels = num_classes - 1); "
                 "use_sigmoid=False losses are not supported here")
+        # NOTE: do not pop use_sigmoid — CrossEntropyLoss dispatches
+        # sigmoid-vs-softmax on it, and silently dropping a True value
+        # would build softmax CE over sigmoid channels
         self._cls_loss = build_loss(cls_cfg)
         self._bbox_loss = build_loss(dict(self.loss_bbox or dict(
             type="SmoothL1Loss", beta=0.11)))

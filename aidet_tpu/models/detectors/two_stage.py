@@ -834,22 +834,26 @@ class TwoStageDetector(nn.Module):
             img_shapes, target_stds=rpn_stds, **ec["rpn"])
         a, p = props.shape[:2]
 
-        def unmap(boxes, flip, sf):
-            w_img = self.img_size
+        # flips mirror about the aug's ACTUAL content width (the
+        # keep-ratio resize leaves content in [0, w_actual) of the
+        # padded canvas; bbox_mapping_back uses img_shape, not
+        # pad_shape) — mirroring about the canvas width would shift
+        # every flipped-aug box by (canvas - w_actual)
+        def unmap(boxes, flip, sf, w_img):
             x1 = jnp.where(flip, w_img - boxes[..., 2] - 1, boxes[..., 0])
             x2 = jnp.where(flip, w_img - boxes[..., 0] - 1, boxes[..., 2])
             out = jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], -1)
             return out / sf
 
-        def remap(boxes, flip, sf):
+        def remap(boxes, flip, sf, w_img):
             b = boxes * sf
-            w_img = self.img_size
             x1 = jnp.where(flip, w_img - b[..., 2] - 1, b[..., 0])
             x2 = jnp.where(flip, w_img - b[..., 0] - 1, b[..., 2])
             return jnp.stack([x1, b[..., 1], x2, b[..., 3]], -1)
 
         # merge proposals in the original frame (merge_aug_proposals)
-        props_orig = jax.vmap(unmap)(props, flips, scale_factors)
+        props_orig = jax.vmap(unmap)(props, flips, scale_factors,
+                                     img_shapes[:, 1])
         flat_p = props_orig.reshape(a * p, 4)
         flat_s = scores.reshape(a * p)
         flat_v = valid.reshape(a * p)
@@ -861,8 +865,8 @@ class TwoStageDetector(nn.Module):
         merged_valid = top_s > NEG_INF / 2
 
         # score the merged proposals under every aug
-        props_aug = jax.vmap(lambda f, s: remap(merged, f, s))(
-            flips, scale_factors)                       # [A, K, 4]
+        props_aug = jax.vmap(lambda f, s, w: remap(merged, f, s, w))(
+            flips, scale_factors, img_shapes[:, 1])     # [A, K, 4]
         crops = self._roi_features(
             feats, props_aug, self._bbox_head.roi_feat_size, infer=True)
         cls_score, bbox_pred = self._bbox_head(
@@ -875,7 +879,7 @@ class TwoStageDetector(nn.Module):
                                RCNN_TARGET_STDS, max_shape=shape_i)
             n_grp = boxes.shape[-1] // 4
             g = boxes.reshape(k, n_grp, 4)
-            return jax.vmap(lambda bb: unmap(bb, flip, sf),
+            return jax.vmap(lambda bb: unmap(bb, flip, sf, shape_i[1]),
                             in_axes=1, out_axes=1)(g).reshape(k, -1)
 
         boxes_all = jax.vmap(decode_unmap)(props_aug, bbox_pred,

@@ -96,14 +96,12 @@ def anchor_head_loss(cls_flat, box_flat, anchors,
     else:
         num_total = tg.num_total_pos.astype(jnp.float32)
 
-    if use_sigmoid_cls:
-        loss_cls = cls_loss(cls_flat, tg.labels,
-                            weight=tg.label_weights,
-                            avg_factor=num_total)
-    else:
-        loss_cls = cls_loss(cls_flat, tg.labels,
-                            weight=tg.label_weights,
-                            avg_factor=num_total)
+    # sigmoid vs softmax channel handling lives inside the configured
+    # cls_loss (CrossEntropyLoss.use_sigmoid / FocalLoss); the call is
+    # identical for both
+    loss_cls = cls_loss(cls_flat, tg.labels,
+                        weight=tg.label_weights,
+                        avg_factor=num_total)
     loss_bbox = bbox_loss(box_flat, tg.bbox_targets,
                           weight=tg.bbox_weights,
                           avg_factor=num_total)
@@ -237,7 +235,11 @@ def anchor_head_bboxes(cls_flat, box_flat, anchors, level_sizes,
             start += n_lvl
             s = scores_all[sl]
             k = min(nms_pre, n_lvl) if nms_pre > 0 else n_lvl
-            ranking = s.max(-1)
+            # rank by the best FOREGROUND score: in the softmax
+            # layout column 0 is background and would dominate
+            # max(-1) (ref get_bboxes_single ranks scores[:, 1:])
+            ranking = (s.max(-1) if use_sigmoid_cls
+                       else s[:, 1:].max(-1))
             _, top_i = jax.lax.top_k(ranking, k)
             props = delta2bbox(anchors[sl][top_i], box_p[sl][top_i],
                                target_means, target_stds,

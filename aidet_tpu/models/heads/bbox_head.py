@@ -192,7 +192,10 @@ class MaskIoUHead(nn.Module):
         """roi_feat: [N, s, s, C]; mask_pred: [N, 2s, 2s] (selected
         class channel, sigmoided)."""
         s = roi_feat.shape[1]
-        mp = mask_pred[:, ::2, ::2][..., None]  # max-pool-2 equivalent
+        # max_pool2d(2, 2) like the reference MaskIoUHead — a strided
+        # slice would drop thin (1-px) mask structures on odd rows/cols
+        n = mask_pred.shape[0]
+        mp = mask_pred.reshape(n, s, 2, s, 2).max((2, 4))[..., None]
         x = jnp.concatenate([roi_feat, mp.astype(roi_feat.dtype)], -1)
         for i in range(self.num_convs):
             stride = 2 if i == self.num_convs - 1 else 1

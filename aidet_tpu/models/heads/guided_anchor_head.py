@@ -196,17 +196,29 @@ def ga_targets(points, pstrides, gt_boxes, gt_valid, gt_labels,
     w = gt_boxes[None, :, 2] - gt_boxes[None, :, 0]
     h = gt_boxes[None, :, 3] - gt_boxes[None, :, 1]
 
-    # level match: gt scale closest to 8x the location stride
+    # exact single-level assignment via log2 binning (ga_loc_target:
+    # each gt maps to ONE level, nearest in log scale) — overlapping
+    # [base/2, base*2) ranges would double-count boundary-scale gts
+    # on two levels and train neighbours on conflicting targets
     scale = jnp.sqrt(jnp.maximum(w * h, 1e-6))
-    base = (pstrides * 8.0)[:, None]
-    lvl_match = (scale >= base / 2) & (scale < base * 2)
+    min_stride = jnp.min(pstrides)
+    gt_lvl = jnp.clip(
+        jnp.floor(jnp.log2(scale[0] / (min_stride * 8.0)) + 0.5),
+        0, jnp.log2(jnp.max(pstrides) / min_stride))        # [G]
+    pt_lvl = jnp.log2(pstrides / min_stride)                # [P]
+    lvl_match = pt_lvl[:, None] == gt_lvl[None, :]
+    adj_match = jnp.abs(pt_lvl[:, None] - gt_lvl[None, :]) == 1
 
     def region(ratio):
         return ((jnp.abs(x - cx) <= 0.5 * ratio * w)
                 & (jnp.abs(y - cy) <= 0.5 * ratio * h))
 
     center = region(center_ratio) & lvl_match & gt_valid[None]
-    ignore = region(ignore_ratio) & lvl_match & gt_valid[None]
+    # ignore band: the matched level's ignore_ratio ring plus the SAME
+    # region projected onto the adjacent levels (ga_loc_target writes
+    # ignore maps to lvl±1)
+    ignore = (region(ignore_ratio) & (lvl_match | adj_match)
+              & gt_valid[None])
 
     loc_tgt = center.any(-1).astype(jnp.float32)
     loc_weight = jnp.where(ignore.any(-1) & ~center.any(-1), 0.0, 1.0)

@@ -46,8 +46,11 @@ def build_ssd_anchors(input_size=300, feat_sizes=SSD300_FEAT_SIZES,
         min_sizes.append(round(input_size * r))
         max_sizes.append(round(input_size * (r + step)))
         r += step
-    max_sizes = [round(input_size * min_ratio)] + max_sizes[:-1] + \
-        [round(input_size * max_ratio)]
+    # keep max[k] == min[k+1] INCLUDING the last level's overhang
+    # (SSD300's 315 ≈ input*(max_ratio + step)); truncating the last
+    # max to input*max_ratio would make the top level's two scale
+    # anchors identical (mn == mx → scale sqrt(mx/mn) == 1)
+    max_sizes = [round(input_size * min_ratio)] + max_sizes
 
     anchors, sizes = [], []
     for k, fs in enumerate(feat_sizes):
