@@ -31,8 +31,10 @@ class AsyncInferencer:
         self.depth = depth
         self.pipe = TestPipeline(img_size=img_size
                                  or getattr(model, "img_size", 1024))
-        self._predict = jax.jit(
-            functools.partial(model.apply, method="predict"))
+        # shared per-model jit cache — a fresh jax.jit per inferencer
+        # would retrace + recompile the model on every construction
+        from .inference import _jitted_predict
+        self._predict = _jitted_predict(model)
         self._queue: collections.deque = collections.deque()
 
     def submit(self, img: np.ndarray, tag=None):

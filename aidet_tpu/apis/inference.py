@@ -43,16 +43,28 @@ def init_detector(config, checkpoint: str | None = None):
     return model, variables, config
 
 
-_PREDICT_CACHE: dict = {}
+_PREDICT_CACHE: "dict[int, tuple]" = {}
+_PREDICT_CACHE_MAX = 8
 
 
 def _jitted_predict(model):
     # keyed by object identity: flax modules with dict-typed config
-    # fields are unhashable, so lru_cache can't be used here
-    fn = _PREDICT_CACHE.get(id(model))
-    if fn is None:
-        fn = jax.jit(functools.partial(model.apply, method="predict"))
-        _PREDICT_CACHE[id(model)] = fn
+    # fields are unhashable, so lru_cache can't be used here. Entries
+    # carry a weakref to detect id() reuse, and the cache is bounded
+    # (oldest evicted) so config sweeps don't pin every model + its
+    # jit traces for process lifetime.
+    import weakref
+    hit = _PREDICT_CACHE.get(id(model))
+    if hit is not None and hit[0]() is model:
+        return hit[1]
+    fn = jax.jit(functools.partial(model.apply, method="predict"))
+    while len(_PREDICT_CACHE) >= _PREDICT_CACHE_MAX:
+        _PREDICT_CACHE.pop(next(iter(_PREDICT_CACHE)))
+    try:
+        ref = weakref.ref(model)
+    except TypeError:  # pragma: no cover - flax modules support weakref
+        ref = (lambda m=model: m)
+    _PREDICT_CACHE[id(model)] = (ref, fn)
     return fn
 
 

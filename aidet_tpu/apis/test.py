@@ -55,30 +55,44 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
                                             method="predict"))
 
     import cv2
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_one(i):
+        img = cv2.imread(dataset.img_path(i))
+        if img is None:
+            info = dataset.img_infos[i]
+            img = np.zeros((info.get("height", 512),
+                            info.get("width", 512), 3), np.uint8)
+        return pipe(img)
+
     results, names = [], []
     n = len(dataset)
     my_idxs = list(range(shard_id, n, num_shards))
-    for start in range(0, len(my_idxs), batch_size):
-        idxs = my_idxs[start:start + batch_size]
-        samples = []
-        for i in idxs:
-            img = cv2.imread(dataset.img_path(i))
-            if img is None:
-                info = dataset.img_infos[i]
-                img = np.zeros((info.get("height", 512),
-                                info.get("width", 512), 3), np.uint8)
-            samples.append(pipe(img))
-        while len(samples) < batch_size:      # static batch padding
-            samples.append(samples[-1])
-        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-        out = predict(variables, batch["imgs"], batch["img_shapes"],
-                      batch["scale_factors"])
-        out = jax.device_get(out)
-        for j, i in enumerate(idxs):
-            results.append({k: v[j] for k, v in out.items()})
-            names.append(dataset.img_infos[i]["file_name"])
-        if progress:
-            progress(len(results), len(my_idxs))
+    batches = [my_idxs[s:s + batch_size]
+               for s in range(0, len(my_idxs), batch_size)]
+    # threaded decode (cv2 releases the GIL) + one-batch prefetch: the
+    # next batch decodes while the device runs the current one —
+    # otherwise eval is host-decode-bound with the accelerator idle
+    with ThreadPoolExecutor(4) as pool:
+        next_futs = ([pool.submit(load_one, i) for i in batches[0]]
+                     if batches else [])
+        for bi, idxs in enumerate(batches):
+            samples = [f.result() for f in next_futs]
+            if bi + 1 < len(batches):
+                next_futs = [pool.submit(load_one, i)
+                             for i in batches[bi + 1]]
+            while len(samples) < batch_size:  # static batch padding
+                samples.append(samples[-1])
+            batch = {k: np.stack([s[k] for s in samples])
+                     for k in samples[0]}
+            out = predict(variables, batch["imgs"], batch["img_shapes"],
+                          batch["scale_factors"])
+            out = jax.device_get(out)
+            for j, i in enumerate(idxs):
+                results.append({k: v[j] for k, v in out.items()})
+                names.append(dataset.img_infos[i]["file_name"])
+            if progress:
+                progress(len(results), len(my_idxs))
     if num_shards > 1:
         from ..parallel.dist import gather_results
         example = None

@@ -45,29 +45,36 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
         (parity: core/evaluation/eval_hooks.py).
     Returns the final TrainState.
     """
+    # multi-host: one process per host feeds its shard of the global
+    # batch (parity: init_dist + DistributedGroupSampler,
+    # tools/train.py:47-51 / samplers/group_sampler.py:50-137).
+    # MUST run before anything touches the jax backend — the logger's
+    # rank gating and PRNGKey creation below both do.
+    from ..parallel.dist import init_distributed, local_batch_to_global
+    proc_id, proc_count = init_distributed()
+
     logger = logger or get_root_logger(f"{work_dir}/train.log")
     seed = cfg.get("seed", 0)
     rng = set_random_seed(seed)
 
-    # multi-host: one process per host feeds its shard of the global
-    # batch (parity: init_dist + DistributedGroupSampler,
-    # tools/train.py:47-51 / samplers/group_sampler.py:50-137)
-    from ..parallel.dist import init_distributed, local_batch_to_global
-    # env-driven no-op for single-process runs; a multi-process env
-    # (JAX_COORDINATOR_ADDRESS et al., set by tools/dist_train.sh /
-    # slurm_train.sh) must have been consumed by an init_distributed()
-    # call BEFORE the backend was touched — tools/train.py does that
-    # first thing; this call is then an idempotent re-read
-    proc_id, proc_count = init_distributed()
-
     n_avail = len(jax.devices())
     batch_size = cfg.get("batch_size", n_avail * 2)
     n_dev = cfg.get("n_devices")
-    if n_dev is None:  # largest divisor of the batch that fits
-        n_dev = max(d for d in range(1, min(n_avail, batch_size) + 1)
-                    if batch_size % d == 0)
+    if n_dev is None:
+        if proc_count > 1:
+            # multi-host meshes must cover every host's chips evenly:
+            # a divisor-of-batch prefix of jax.devices() would leave
+            # hosts with unequal addressable shards and break
+            # local_batch_to_global's per-process row accounting
+            n_dev = n_avail
+        else:  # largest divisor of the batch that fits
+            n_dev = max(d for d in range(1, min(n_avail, batch_size) + 1)
+                        if batch_size % d == 0)
     mesh = create_mesh(n_dev)
-    assert batch_size % n_dev == 0, "global batch must divide the mesh"
+    assert batch_size % n_dev == 0, (
+        f"global batch {batch_size} must divide the {n_dev}-device mesh"
+        + (" (multi-host runs use ALL devices)" if proc_count > 1
+           else ""))
     assert batch_size % proc_count == 0, \
         "global batch must divide the process count"
     if proc_count > 1:

@@ -22,9 +22,10 @@ from ..data.tiling import merge_patch_detections
 
 
 def flip_boxes_back(boxes, img_w):
-    x1 = img_w - boxes[..., 2] - 1
-    x2 = img_w - boxes[..., 0] - 1
-    return np.stack([x1, boxes[..., 1], x2, boxes[..., 3]], -1)
+    """Single source for the flip convention: core.boxes.bbox_flip
+    (a second copy of the 'w - x - 1' math could drift)."""
+    from ..core.boxes import bbox_flip
+    return np.asarray(bbox_flip(boxes, (0, img_w)))
 
 
 def aug_test_image(model, variables, img, scales=(1024,),
@@ -37,7 +38,8 @@ def aug_test_image(model, variables, img, scales=(1024,),
     import cv2
     import jax.numpy as jnp
 
-    predict = jax.jit(functools.partial(model.apply, method="predict"))
+    from .inference import _jitted_predict
+    predict = _jitted_predict(model)  # shared cache: no per-call retrace
     h0, w0 = img.shape[:2]
 
     variants = []

@@ -183,5 +183,16 @@ def make_eval_step(model, mesh=None, axis_name: str = "data") -> Callable:
         return jax.jit(eval_fn)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
-    return jax.jit(eval_fn, in_shardings=(repl, data, data, data),
-                   out_shardings=repl)
+    jitted = jax.jit(eval_fn, in_shardings=(repl, data, data, data),
+                     out_shardings=repl)
+
+    def call(state, imgs, img_shapes, scale_factors=None):
+        # the sharded program always takes 4 args; materialize the
+        # optional scale_factors so the 3-arg call of the unsharded
+        # path works here too
+        if scale_factors is None:
+            import jax.numpy as jnp
+            scale_factors = jnp.ones(imgs.shape[0], jnp.float32)
+        return jitted(state, imgs, img_shapes, scale_factors)
+
+    return call

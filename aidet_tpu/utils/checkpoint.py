@@ -32,8 +32,11 @@ def save_checkpoint(ckpt_dir: str, state, step: int, meta: dict | None = None):
 
 
 def latest_step(ckpt_dir: str, prefix: str = "step_") -> int:
-    steps = [int(d.split("_")[-1]) for d in os.listdir(ckpt_dir)
-             if d.startswith(prefix)]
+    # orbax leaves '<name>.orbax-checkpoint-tmp-<ts>' dirs behind on
+    # interrupted saves — only purely numeric suffixes are completed
+    # checkpoints (resume must not crash exactly when it's needed)
+    steps = [int(d[len(prefix):]) for d in os.listdir(ckpt_dir)
+             if d.startswith(prefix) and d[len(prefix):].isdigit()]
     if not steps:
         raise FileNotFoundError(f"no '{prefix}*' checkpoints in {ckpt_dir}")
     return max(steps)

@@ -43,9 +43,17 @@ def _merge_dicts(base: dict, override: dict) -> dict:
             out[k] = _merge_dicts(out[k], v)
         else:
             if isinstance(v, dict):
-                v = {kk: vv for kk, vv in v.items() if kk != "_delete_"}
+                v = _strip_delete(v)
             out[k] = v
     return out
+
+
+def _strip_delete(d: dict) -> dict:
+    """Drop _delete_ markers RECURSIVELY on the replace path — a nested
+    marker would otherwise leak into build_from_cfg as a constructor
+    kwarg, failing far from the config that caused it."""
+    return {k: (_strip_delete(v) if isinstance(v, dict) else v)
+            for k, v in d.items() if k != "_delete_"}
 
 
 class Config:
