@@ -77,3 +77,31 @@ def test_flops_counter_small_model():
     # conv flops ≈ 2*H*W*k*k*cin*cout
     expected = 2 * 16 * 16 * 9 * 3 * 8
     assert flops <= 0 or abs(flops - expected) / expected < 0.5
+
+
+def test_latest_step_ignores_orbax_tmp_dirs(tmp_path):
+    """Interrupted saves leave '<name>.orbax-checkpoint-tmp-<ts>' dirs;
+    resume must pick the last COMPLETED step, not crash."""
+    from aidet_tpu.utils.checkpoint import latest_step
+    for d in ("step_3", "step_5", "step_6.orbax-checkpoint-tmp-1723",
+              "model_5", "meta.json_ignoreme"):
+        (tmp_path / d).mkdir()
+    assert latest_step(str(tmp_path)) == 5
+    assert latest_step(str(tmp_path), "model_") == 5
+
+
+def test_config_nested_delete_stripped(tmp_path):
+    """_delete_ markers nested under a replaced (non-merged) key must
+    not leak into the built config."""
+    base = tmp_path / "base.py"
+    base.write_text("model = dict(type='FasterRCNN')\n")
+    child = tmp_path / "child.py"
+    child.write_text(
+        "_base_ = 'base.py'\n"
+        "model = dict(bbox_head=dict(type='X', loss_cls=dict("
+        "_delete_=True, type='FocalLoss')))\n")
+    from aidet_tpu.utils.config import Config
+    cfg = Config.fromfile(str(child))
+    lc = cfg.model["bbox_head"]["loss_cls"]
+    assert "_delete_" not in lc, lc
+    assert lc["type"] == "FocalLoss"
