@@ -18,9 +18,21 @@ import numpy as np
 _LIB = None
 _TRIED = False
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_LOAD_LOCK = __import__("threading").Lock()
 
 
 def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    # run_inference's decode ThreadPoolExecutor can race in here: two
+    # concurrent makes on the same .so target, or a CDLL of a
+    # half-written file — serialize the first load
+    with _LOAD_LOCK:
+        return _load_locked()
+
+
+def _load_locked():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
@@ -69,6 +81,13 @@ def normalize_pad(img: np.ndarray, out_hw, mean, std,
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     out_h, out_w = out_hw
+    if h > out_h or w > out_w:
+        # the C kernel writes dst rows of out_w floats while reading
+        # src rows of w — an oversized source would be an unbounded
+        # heap write there (the numpy fallback would merely raise)
+        raise ValueError(
+            f"normalize_pad: source {h}x{w} exceeds output "
+            f"{out_h}x{out_w}; resize before padding")
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
     lib = _load()
@@ -97,7 +116,6 @@ def tile_scene_normalized(scene: np.ndarray, offsets: np.ndarray,
     std = np.ascontiguousarray(std, np.float32)
     lib = _load()
     if lib is None:
-        from .data.tiling import tile_image
         out = np.zeros((n, patch, patch, 3), np.float32)
         for i, (ox, oy) in enumerate(offs):
             tile = scene[oy:oy + patch, ox:ox + patch]

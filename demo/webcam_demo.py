@@ -41,7 +41,7 @@ def main():
                 cv2.putText(img, f"{c}:{s:.2f}", (int(x1), int(y1) - 3),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0))
         cv2.imshow("aidet_tpu", img)
-        key = cv2.waitKey(1)
+        key = cv2.waitKey(1) & 0xFF  # mask modifier/high bits (GTK/Qt)
         if key in (27, ord("q")):
             break
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import argparse
 import ast
+import os
 import re
 import sys
 
@@ -56,13 +57,20 @@ def main():
                     print(f"{path} {k}: first={vals[0]:.4f} "
                           f"last={vals[-1]:.4f} min={min(vals):.4f}")
                 continue
+            plt.figure()  # fresh figure per log (no curve carry-over)
             for k in args.keys:
                 vals = [r.get(k) for r in rows if k in r]
                 plt.plot(range(len(vals)), vals, label=k)
             plt.legend()
             plt.xlabel("iteration")
             out = args.out or "curve.png"
+            if args.out is None and len(args.logs) > 1:
+                # distinct default name per log so multi-log runs
+                # don't clobber one output file
+                stem = os.path.splitext(os.path.basename(path))[0]
+                out = f"curve_{stem}.png"
             plt.savefig(out)
+            plt.close()
             print(f"saved {out}")
 
 

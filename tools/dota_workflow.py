@@ -62,8 +62,14 @@ def main():
         if not args.gt_json:
             p.error("--gt-json is required for the eval stage")
         for task in ("obb", "hbb"):
-            gt = args.gt_json.replace("_obb", f"_{task}") \
-                if "_obb" in args.gt_json else args.gt_json
+            gt = (args.gt_json.replace("_obb", f"_{task}")
+                  if "_obb" in args.gt_json else args.gt_json)
+            if task == "hbb" and "_obb" not in args.gt_json:
+                # no sibling hbb gt derivable from the name: feeding
+                # the OBB polygons into the hbb IoU would be garbage
+                print(f"[skip] hbb eval: no *_hbb sibling of "
+                      f"{args.gt_json}", flush=True)
+                continue
             run("dota_eval.py", results, "--gt-json", gt, "--task",
                 task, "--encode", args.encode,
                 "--export", os.path.join(work, f"ap_{task}"))

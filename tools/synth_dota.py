@@ -90,8 +90,20 @@ def gen_scene(rng, size, n_objs, angle_mode, classes):
             theta = -(abs(theta) % (np.pi / 2)) - 1e-3
         h = rng.uniform(slo, shi)
         w = h * aspect
-        cx = rng.uniform(w / 2 + 5, size - w / 2 - 5)
-        cy = rng.uniform(w / 2 + 5, size - w / 2 - 5)
+        # keep the rotated extent inside the scene: with w = h*aspect
+        # up to 7x, the old bounds inverted (low > high, numpy samples
+        # garbage) and gt polygons landed far off-canvas while the
+        # rendered fill clipped. Bound by the half-diagonal (covers
+        # any rotation) and shrink oversized objects to fit.
+        diag = float(np.hypot(w, h))
+        if diag > size - 20.0:
+            fit = (size - 20.0) / diag
+            w *= fit
+            h *= fit
+            diag = size - 20.0
+        half = diag / 2 + 5
+        cx = rng.uniform(half, size - half)
+        cy = rng.uniform(half, size - half)
         quad = _quad(cx, cy, w, h, theta)
         color = tuple(int(v) for v in rng.randint(120, 255, 3))
         cv2.fillPoly(img, [quad.astype(np.int32)], color)

@@ -55,6 +55,12 @@ def main():
     # non-addressable chips (cross-host splitting is the
     # num_shards/shard_id axis below)
     n_dev = args.n_devices or jax.local_device_count()
+    if n_dev > jax.local_device_count():
+        raise SystemExit(
+            f"--n-devices {n_dev} exceeds the {jax.local_device_count()}"
+            " local devices (a silent truncation would shard over the"
+            " wrong mesh while validating batch divisibility against"
+            " the requested count)")
     if n_dev > 1:
         from jax.sharding import Mesh
         import numpy as np

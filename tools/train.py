@@ -79,8 +79,15 @@ def main():
         if args.total_epochs != cfg_epochs:
             lrc = dict(run_cfg.get("lr_config") or {})
             ratio = args.total_epochs / cfg_epochs
-            steps = tuple(max(1, round(s * ratio))
-                          for s in lrc.get("step", (8, 11)))
+            steps = []
+            for s in lrc.get("step", (8, 11)):
+                v = max(1, round(s * ratio))
+                if steps and v <= steps[-1]:
+                    # rounding collisions would silently drop a decay
+                    # stage (build_lr_schedule keys boundaries)
+                    v = steps[-1] + 1
+                steps.append(v)
+            steps = tuple(steps)
             lrc["step"] = steps
             run_cfg["lr_config"] = lrc
             logger.info("total-epochs %d (config %d): lr steps -> %s",
