@@ -258,6 +258,13 @@ class ResNet(nn.Module):
     # IDENTICAL (weights are a pure relayout, see stem_s2d_weights) and
     # ~3x faster on TPU — the classic MLPerf-ResNet trick
     stem_space_to_depth: bool = False
+    # phase-decomposed s2d stem conv: the 4x4/s1 conv over the
+    # 12-channel half-res map leaves the MXU contraction at C_in=12
+    # (~12 of 128 lanes); a second space-to-depth + per-output-phase
+    # kernel relayout turns it into ONE 3x3 conv at K=432 emitting all
+    # 4 phases as output channels. Same math, same checkpoint tree
+    # (the [4,4,4C,F] stem_conv kernel is relaid out in-graph).
+    stem_s2d_phase: bool = False
     # fuse each stage's run of stride-1 identity bottlenecks into one
     # Pallas VMEM-resident chain (ops/fused_resnet.py) — same math,
     # same checkpoint tree, ~3x less HBM traffic on the memory-bound
@@ -282,11 +289,17 @@ class ResNet(nn.Module):
             x = x.reshape(b, h // 2, 2, w // 2, 2, c)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
                 b, h // 2, w // 2, 4 * c)
-            # taps u,v span [-2, 1] around each output pixel →
-            # asymmetric (2, 1) padding
-            x = nn.Conv(self.base_channels, (4, 4), strides=(1, 1),
-                        padding=[(2, 1), (2, 1)], use_bias=False,
-                        dtype=self.dtype, name="stem_conv")(x)
+            if (self.stem_s2d_phase and x.shape[1] % 2 == 0
+                    and x.shape[2] % 2 == 0):
+                k4 = _ConvP((4, 4, 4 * c, self.base_channels),
+                            name="stem_conv")().astype(self.dtype)
+                x = _stem_phase_conv(x, k4)
+            else:
+                # taps u,v span [-2, 1] around each output pixel →
+                # asymmetric (2, 1) padding
+                x = nn.Conv(self.base_channels, (4, 4), strides=(1, 1),
+                            padding=[(2, 1), (2, 1)], use_bias=False,
+                            dtype=self.dtype, name="stem_conv")(x)
         else:
             x = conv(self.base_channels, 7, 2, 1, "stem_conv",
                      self.dtype, self.conv_cfg)(x)
@@ -364,6 +377,36 @@ class ResNet(nn.Module):
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+def _stem_phase_conv(x2, k4):
+    """Phase-decomposed space-to-depth stem conv (same math as the
+    4x4/s1 conv with padding (2,1) over the s2d(2) map, MXU-friendly).
+
+    y[2p+φu, 2q+φv] = Σ_{du,dv∈[-2,1]} K[du+2,dv+2] · x2[2p+φu+du, …]
+    is regrouped over a second space-to-depth of x2 (blocks of 2 rows/
+    cols → channels): tap e3∈{0,1,2} at block row p-1+e3, row-phase a
+    contributes the original tap eu = 2·e3 + a - φu when 0 ≤ eu ≤ 3.
+    All 4 output phases are emitted as channels of ONE 3x3 conv with a
+    K = 9·4C contraction, then interleaved back to full resolution.
+    """
+    b, hh, ww, c12 = x2.shape
+    f = k4.shape[-1]
+    x4 = x2.reshape(b, hh // 2, 2, ww // 2, 2, c12)
+    x4 = x4.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, hh // 2, ww // 2, 4 * c12)
+    e3 = jnp.arange(3)[:, None, None, None]
+    a_ = jnp.arange(2)[None, :, None, None]
+    ph = jnp.arange(2)[None, None, :, None]
+    eu = jnp.arange(4)[None, None, None, :]
+    m = (eu == 2 * e3 + a_ - ph).astype(k4.dtype)   # [e3, a, φ, eu]
+    kk = jnp.einsum("iaxu,jbyv,uvcf->ijabcxyf", m, m, k4)
+    kk = kk.reshape(3, 3, 4 * c12, 4 * f)
+    y = jax.lax.conv_general_dilated(
+        x4, kk, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(b, hh // 2, ww // 2, 2, 2, f)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, f)
 
 
 def stem_s2d_weights(w7):

@@ -963,16 +963,29 @@ class TwoStageDetector(nn.Module):
                                      out["boxes"])
 
         if self._rbbox_head is not None:
+            # the parallel rbbox decode only ever reads the rows the
+            # HBB NMS kept (select_parallel_rboxes gathers at roi_idx,
+            # rbbox_nms.py:64-118) — run the rbbox head on just those
+            # K=max_per_img crops instead of all P proposals (identical
+            # outputs, ~P/K x less head work at inference)
+            k = dets.boxes.shape[1]
+            roi = jnp.clip(dets.roi_idx, 0, p - 1)            # [B, K]
+            kcrops = jnp.take_along_axis(
+                crops, roi[..., None, None, None], axis=1)
             rcls, rreg = self._rbbox_head(
-                crops.reshape((b * p,) + crops.shape[2:]))
-            rreg = rreg.reshape(b, p, -1)
+                kcrops.reshape((b * k,) + kcrops.shape[2:]))
+            rreg = rreg.reshape(b, k, -1)
+            kprops = jnp.take_along_axis(props, roi[..., None], axis=1)
+            local_idx = jnp.arange(k)
 
             def rb_one(rois_i, rreg_i, det_i):
                 rboxes, _ = rbbox_head_decode(
-                    rois_i, jnp.zeros((p, 1)), rreg_i, self.rbbox_encode)
+                    rois_i, jnp.zeros((k, 1)), rreg_i, self.rbbox_encode)
+                det_loc = det_i._replace(
+                    roi_idx=local_idx.astype(det_i.roi_idx.dtype))
                 return select_parallel_rboxes(
-                    rboxes, det_i, self._rbbox_head.out_dim_reg)
-            out["rboxes"] = jax.vmap(rb_one)(props, rreg, dets)
+                    rboxes, det_loc, self._rbbox_head.out_dim_reg)
+            out["rboxes"] = jax.vmap(rb_one)(kprops, rreg, dets)
 
             # rotated-RoI refinement at inference: re-crop the selected
             # rboxes with rotated RoIAlign and apply the rtheta deltas

@@ -130,6 +130,14 @@ def test_stem_space_to_depth_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
 
+    # the phase-decomposed variant consumes the SAME checkpoint tree
+    # ([4,4,4C,F] stem_conv kernel) and must be numerically identical
+    m3 = ResNet(depth=18, stem_space_to_depth=True, stem_s2d_phase=True)
+    o3 = jax.jit(m3.apply)(v2, x)
+    for a, b in zip(o2, o3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
 
 # ---------------------------------------------------------------------------
 # Full-detector converter parity (tools/torch2jax.convert_detector):
