@@ -32,7 +32,11 @@ def main():
                    choices=["train", "test", "eval", "figures"])
     p.add_argument("--gt-json", default=None,
                    help="scene-level GT json for the eval stage")
-    p.add_argument("--encode", default="thetaobb")
+    p.add_argument("--encode", default="auto",
+                   help="rbox encoding for eval quad conversion; "
+                        "'auto' reads model.rbbox_encode from the "
+                        "config (rbbox_refine_head models emit refined "
+                        "thetaobb regardless of the first-stage encode)")
     p.add_argument("--total-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--autoscale-lr", action="store_true",
@@ -44,6 +48,14 @@ def main():
     name = os.path.splitext(os.path.basename(args.config))[0]
     work = args.work_dir or f"work_dirs/{name}"
     results = os.path.join(work, "results.pkl")
+
+    if args.encode == "auto":
+        sys.path.insert(0, os.path.dirname(TOOLS))
+        from aidet_tpu.utils.config import Config
+        mcfg = Config.fromfile(args.config).get("model", {})
+        args.encode = ("thetaobb" if mcfg.get("rbbox_refine_head")
+                       else mcfg.get("rbbox_encode", "thetaobb"))
+        print(f"[encode] auto -> {args.encode}", flush=True)
 
     if "train" in args.stages:
         extra = []

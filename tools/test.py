@@ -81,7 +81,12 @@ def main():
     if hasattr(dataset, "merge_patches_to_scenes") and results:
         import jax.numpy as jnp
 
-        encode = getattr(model, "rbbox_encode", "thetaobb")
+        # refine-head models emit refined thetaobb rboxes from predict
+        # regardless of the first-stage encode (two_stage.py predict)
+        if getattr(model, "rbbox_refine_head", None):
+            encode = "thetaobb"
+        else:
+            encode = getattr(model, "rbbox_encode", "thetaobb")
         to_quad = RBBOX_CODECS[encode][3]
         for task in args.eval:
             dets = []
