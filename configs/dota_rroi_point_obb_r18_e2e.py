@@ -2,9 +2,14 @@
 # synthetic-devkit recipe): relative per-encoding quality on the
 # realistic-angle set, not absolute scale.
 _base_ = "dota_rroi_point_obb_r50_fpn_1x.py"
+# GN backbone/neck: this recipe trains FROM SCRATCH on the synthetic
+# devkit, where FrozenBN (reference fine-tuning semantics) gives no
+# activation-scale control and the unnormalized net drifts to an
+# activation explosion by ~epoch 15 (round-3 post-mortem).
 model = dict(
-    backbone=dict(depth=18),
-    neck=dict(in_channels=(64, 128, 256, 512), out_channels=128),
+    backbone=dict(depth=18, norm_cfg=dict(type="GN", num_groups=32)),
+    neck=dict(in_channels=(64, 128, 256, 512), out_channels=128,
+              norm_cfg=dict(type="GN", num_groups=32)),
     img_size=512,
     rpn_head=dict(in_channels=128, feat_channels=128),
     bbox_head=dict(in_channels=128, fc_out_channels=512),
