@@ -103,10 +103,31 @@ def bench_fused(iters):
     print(f"rpn      fused {t * 1e3:8.2f} ms", flush=True)
 
 
+def bench_stem(iters):
+    """Full-backbone A/B of the phase-decomposed s2d stem conv (same
+    checkpoint tree, so one init serves both variants)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aidet_tpu.models.backbones.resnet import ResNet
+
+    b, s = 16, 1024
+    imgs = jnp.zeros((b, s, s, 3), jnp.float32)
+    kw = dict(depth=50, dtype=jnp.bfloat16, stem_space_to_depth=True)
+    bb = ResNet(**kw)
+    v = jax.jit(bb.init)(jax.random.PRNGKey(0), imgs)
+    t = timeit(lambda vv, im: bb.apply(vv, im), v, imgs, iters=iters)
+    print(f"backbone s2d stem        {t * 1e3:8.2f} ms", flush=True)
+    bbp = ResNet(stem_s2d_phase=True, **kw)
+    t = timeit(lambda vv, im: bbp.apply(vv, im), v, imgs, iters=iters)
+    print(f"backbone s2d-phase stem  {t * 1e3:8.2f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--only", choices=["roi", "fused"], default=None)
+    ap.add_argument("--only", choices=["roi", "fused", "stem"],
+                    default=None)
     args = ap.parse_args()
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
@@ -114,6 +135,8 @@ def main():
         bench_roi(args.iters)
     if args.only in (None, "fused"):
         bench_fused(args.iters)
+    if args.only in (None, "stem"):
+        bench_stem(args.iters)
 
 
 if __name__ == "__main__":
