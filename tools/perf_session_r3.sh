@@ -16,6 +16,11 @@ timeout 1800 python tools/bench_kernels_r3.py --only roi \
   >"$OUT/roi_kernels.log" 2>&1
 tail -20 "$OUT/roi_kernels.log"
 
+step "fused strip kernels re-measure (restructured chunked-2D form)"
+timeout 1800 python tools/bench_kernels_r3.py --only fused \
+  >"$OUT/fused.log" 2>&1
+tail -8 "$OUT/fused.log"
+
 step "stem A/B (s2d vs phase-decomposed, full backbone)"
 timeout 1800 python tools/bench_kernels_r3.py --only stem \
   >"$OUT/stem.log" 2>&1
