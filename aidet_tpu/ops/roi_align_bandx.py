@@ -246,5 +246,6 @@ def roi_align_bandx(feats, rois_b, out_size=7,
     )(key_ck.astype(jnp.int32), b_ck.astype(jnp.int32),
       lvl_ck.astype(jnp.int32), row0_ck.astype(jnp.int32),
       *xposed, wx_all, wy_all)
-    # sorted rois live at `pos`; gather then undo the sort
-    return out[pos][inv].reshape(b, r, out_size, out_size, c)
+    # sorted rois live at `pos`; one fused gather maps each original
+    # roi to its chunk slot (out[pos][inv] would gather ~100MB twice)
+    return out[pos[inv]].reshape(b, r, out_size, out_size, c)
