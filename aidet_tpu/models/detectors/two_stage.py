@@ -30,7 +30,8 @@ from ...core.boxes import delta2bbox
 from ...ops.nms import (NEG_INF, multiclass_nms, nms,
                         nms_cfg_kwargs, select_parallel_rboxes)
 from ...ops.roi_align import multilevel_roi_align_fused
-from ..builder import build_backbone, build_head, build_neck
+from ..builder import (build_backbone, build_head, build_neck,
+                       build_shared_head)
 from ..heads.anchor_head import (anchor_head_loss, flatten_level_outputs,
                                  rpn_proposals)
 from ..heads.bbox_head import (bbox_head_decode, bbox_head_loss,
@@ -79,6 +80,11 @@ class TwoStageDetector(nn.Module):
     """Configurable two-stage detector (the whole R-CNN family)."""
     backbone: Any = None
     neck: Any = None
+    # C4-style shared RoI head (res5 ResLayer applied to roi crops
+    # before the bbox head, faster_rcnn_r50_caffe_c4_1x.py); rois are
+    # pooled at roi_feat_size x its stride so the strided res5 stage
+    # lands on the bbox head's expected spatial size
+    shared_head: Any = None
     rpn_head: Any = None
     bbox_head: Any = None
     rbbox_head: Any = None        # RBBoxRCNN branch
@@ -145,6 +151,11 @@ class TwoStageDetector(nn.Module):
             self._ga_level_sizes = psizes
         self._bbox_head = build_head(_dt(self.bbox_head) or dict(
             type="SharedFCBBoxHead", num_classes=16, dtype=self.dtype))
+        self._shared_head = (build_shared_head(_dt(self.shared_head))
+                             if self.shared_head else None)
+        self._bbox_pool_size = self._bbox_head.roi_feat_size * (
+            self._shared_head.stride if self._shared_head is not None
+            else 1)
         self._rbbox_head = (build_head(_dt(self.rbbox_head))
                             if self.rbbox_head else None)
         if self.rbbox_refine_head:
@@ -204,8 +215,10 @@ class TwoStageDetector(nn.Module):
             jnp.asarray([[0.0, 0.0, 100.0, 100.0]], self.dtype), (4, 1))
         crops = multilevel_roi_align_fused(
             [f[0] for f in feats[:4]], dummy_rois,
-            out_size=self._bbox_head.roi_feat_size,
+            out_size=self._bbox_pool_size,
             featmap_strides=tuple(self.strides[:4]))
+        if self._shared_head is not None:
+            crops = self._shared_head(crops)
         cls_score, bbox_pred = self._bbox_head(crops)
         outs = (rpn_cls, rpn_reg, cls_score, bbox_pred)
         if self._semantic_head is not None:
@@ -308,6 +321,16 @@ class TwoStageDetector(nn.Module):
         return batched_multilevel_roi_align(
             list(feats[:4]), rois_b, out_size=out_size,
             featmap_strides=tuple(self.strides[:4]))
+
+    def _apply_shared(self, crops):
+        """res5 shared head over [B, R, s, s, C] roi crops (C4 models;
+        parity: shared_heads/res_layer.py via two_stage.py bbox branch)."""
+        if self._shared_head is None:
+            return crops
+        b, r = crops.shape[:2]
+        out = self._shared_head(
+            crops.reshape((b * r,) + crops.shape[2:]))
+        return out.reshape((b, r) + out.shape[1:])
 
     def _fuse_semantic(self, crops, sem_feat, rois_b, out_size):
         """RoI-crop the semantic feature map and fuse into roi feats
@@ -445,9 +468,9 @@ class TwoStageDetector(nn.Module):
             # by their classification loss under the current head —
             # requires a no-grad head pass over ALL candidates
             c_all = cand.shape[1]
-            ohem_crops = self._roi_features(
+            ohem_crops = self._apply_shared(self._roi_features(
                 jax.tree.map(jax.lax.stop_gradient, feats), cand,
-                self._bbox_head.roi_feat_size)
+                self._bbox_pool_size))
             o_cls, _ = self._bbox_head(
                 ohem_crops.reshape((b * c_all,)
                                    + ohem_crops.shape[2:]))
@@ -517,10 +540,11 @@ class TwoStageDetector(nn.Module):
                     focal_gamma=getattr(sh, "focal_gamma", 2.0))
 
         crops = self._roi_features(
-            feats, rois, self._bbox_head.roi_feat_size)     # [B,R,s,s,C]
+            feats, rois, self._bbox_pool_size)              # [B,R,s,s,C]
         if sem_feat is not None:
             crops = self._fuse_semantic(
-                crops, sem_feat, rois, self._bbox_head.roi_feat_size)
+                crops, sem_feat, rois, self._bbox_pool_size)
+        crops = self._apply_shared(crops)
         r = rc["num_samples"]
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((b * r,) + crops.shape[2:]))
@@ -784,8 +808,8 @@ class TwoStageDetector(nn.Module):
         ec = self._ec
         feats = self.extract_feat(imgs)
         b, p = proposals.shape[:2]
-        crops = self._roi_features(
-            feats, proposals, self._bbox_head.roi_feat_size, infer=True)
+        crops = self._apply_shared(self._roi_features(
+            feats, proposals, self._bbox_pool_size, infer=True))
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((b * p,) + crops.shape[2:]))
         cls_score = cls_score.reshape(b, p, -1)
@@ -867,8 +891,8 @@ class TwoStageDetector(nn.Module):
         # score the merged proposals under every aug
         props_aug = jax.vmap(lambda f, s, w: remap(merged, f, s, w))(
             flips, scale_factors, img_shapes[:, 1])     # [A, K, 4]
-        crops = self._roi_features(
-            feats, props_aug, self._bbox_head.roi_feat_size, infer=True)
+        crops = self._apply_shared(self._roi_features(
+            feats, props_aug, self._bbox_pool_size, infer=True))
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((a * k,) + crops.shape[2:]))
         cls_score = cls_score.reshape(a, k, -1)
@@ -917,10 +941,11 @@ class TwoStageDetector(nn.Module):
         if self._semantic_head is not None:
             _, sem_feat = self._semantic_head(feats)
         crops = self._roi_features(
-            feats, props, self._bbox_head.roi_feat_size, infer=True)
+            feats, props, self._bbox_pool_size, infer=True)
         if sem_feat is not None:
             crops = self._fuse_semantic(
-                crops, sem_feat, props, self._bbox_head.roi_feat_size)
+                crops, sem_feat, props, self._bbox_pool_size)
+        crops = self._apply_shared(crops)
         cls_score, bbox_pred = self._bbox_head(
             crops.reshape((b * p,) + crops.shape[2:]))
         cls_score = cls_score.reshape(b, p, -1)

@@ -16,6 +16,22 @@ import jax.numpy as jnp
 from ..registry import NECKS
 
 
+@NECKS.register
+class Identity(nn.Module):
+    """No-op neck: pass the backbone tuple through unchanged.
+
+    The C4-style detectors (faster_rcnn_r50_caffe_c4_1x.py) have no
+    neck — the RPN and RoI heads work directly on the single C4 stage;
+    the reference expresses this by omitting `neck` from the config,
+    which in this framework would fall back to the default FPN.
+    """
+    dtype: jnp.dtype = jnp.float32   # accepted for config uniformity
+
+    @nn.compact
+    def __call__(self, feats):
+        return feats
+
+
 def _upsample_nearest_2x(x, like):
     """Nearest-neighbour upsample x to `like`'s spatial dims."""
     h, w = like.shape[-3], like.shape[-2]

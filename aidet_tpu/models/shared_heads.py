@@ -16,6 +16,8 @@ class ResLayer(nn.Module):
     depth: int = 50
     stage: int = 3
     stride: int = 2
+    style: str = "pytorch"        # 'caffe' for the r50_caffe_c4 family
+    norm_cfg: dict | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -23,9 +25,12 @@ class ResLayer(nn.Module):
         """x: [N, s, s, C] roi feats → [N, s/stride, s/stride, C']."""
         block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
         planes = 64 * 2 ** self.stage
+        kw = dict(norm_cfg=self.norm_cfg, dtype=self.dtype)
+        if block_cls is Bottleneck:   # BasicBlock has no style switch
+            kw["style"] = self.style
         for b in range(stage_blocks[self.stage]):
             x = block_cls(planes=planes,
                           stride=self.stride if b == 0 else 1,
-                          downsample=(b == 0), dtype=self.dtype,
-                          name=f"layer{self.stage + 1}_block{b}")(x)
+                          downsample=(b == 0),
+                          name=f"layer{self.stage + 1}_block{b}", **kw)(x)
         return x
