@@ -35,7 +35,8 @@ def build_pyramid_points(img_size: int, strides: Sequence[int]):
 
 def fcos_target(points: jax.Array, regress_ranges: jax.Array,
                 gt_boxes: jax.Array, gt_valid: jax.Array,
-                gt_labels: jax.Array):
+                gt_labels: jax.Array, strides: jax.Array | None = None,
+                center_sample_radius: float = 0.0):
     """Per-point FCOS targets for ONE image.
 
     Parity: FCOSHead.fcos_target_single (fcos_head.py): a point is
@@ -44,9 +45,17 @@ def fcos_target(points: jax.Array, regress_ranges: jax.Array,
     minimal gt area; centerness = sqrt((min l,r / max l,r)·(min t,b /
     max t,b)).
 
+    With ``strides`` + ``center_sample_radius`` > 0, positives are
+    further restricted to points inside the gt's *center region*
+    (center ± radius·stride, clipped to the box — the reference's
+    FCOSHead.get_sample_region / center_sampling=True,
+    configs/fcos/fcos_center_r50_caffe_fpn_gn_1x_4gpu.py.py).
+
     Args:
       points: [P, 2]; regress_ranges: [P, 2] (lo, hi) per point.
       gt_boxes: [G, 4]; gt_valid: [G]; gt_labels: [G] (1-based).
+      strides: optional [P] per-point stride (required for center
+        sampling).
     Returns (labels [P], bbox_targets [P, 4] (l, t, r, b),
              centerness [P]).
     """
@@ -59,6 +68,18 @@ def fcos_target(points: jax.Array, regress_ranges: jax.Array,
     ltrb = jnp.stack([l, t, r, b], axis=-1)        # [P, G, 4]
 
     inside = ltrb.min(-1) > 0                      # [P, G]
+    if center_sample_radius > 0:
+        assert strides is not None, \
+            "center sampling needs per-point strides"
+        cx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5
+        cy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
+        rad = strides[:, None] * center_sample_radius      # [P, 1]
+        cx1 = jnp.maximum(cx[None] - rad, gt_boxes[None, :, 0])
+        cy1 = jnp.maximum(cy[None] - rad, gt_boxes[None, :, 1])
+        cx2 = jnp.minimum(cx[None] + rad, gt_boxes[None, :, 2])
+        cy2 = jnp.minimum(cy[None] + rad, gt_boxes[None, :, 3])
+        inside = (inside & (x > cx1) & (x < cx2)
+                  & (y > cy1) & (y < cy2))
     max_dist = ltrb.max(-1)
     in_range = ((max_dist >= regress_ranges[:, None, 0])
                 & (max_dist <= regress_ranges[:, None, 1]))

@@ -65,7 +65,7 @@ class TrainPipeline:
                  centermap_factor: float = 4.0,
                  centermap_template: int = 512,
                  seg_scale: int = 4,
-                 scale_range=None, albu=None,
+                 scale_range=None, albu=None, instaboost=None,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD,
                  to_rgb: bool = True, seed: int = 0):
         """mask_type: 'binary' (Mask R-CNN / MaskOBB) or 'centermap'
@@ -124,11 +124,19 @@ class TrainPipeline:
         if albu:
             from .albu import AlbuTransform
             self.albu = AlbuTransform(albu)
+        # optional InstaBoost stage (reference pipelines/instaboost.py,
+        # configs/instaboost/*_4x.py place it right after LoadImage)
+        self.instaboost = None
+        if instaboost:
+            from .instaboost import InstaBoost
+            self.instaboost = InstaBoost(seed=seed + 1, **instaboost)
         self.rng = np.random.RandomState(seed)
 
     def __call__(self, img, anns):
         """img: HWC uint8 BGR (cv2 convention); anns: dict from dataset."""
         size = self.img_size
+        if self.instaboost is not None:
+            img, anns = self.instaboost(img, anns)
         if self.albu is not None:
             # Albu only maps bboxes/labels/pointobbs through the
             # transform; geometric albu ops would leave stale ignore

@@ -106,7 +106,12 @@ class SingleStageDetector(nn.Module):
             self._rbox_dim = dim
 
     def extract_feat(self, imgs):
-        return self._neck(self._backbone(imgs))
+        x = self._backbone(imgs)
+        if isinstance(self._neck, (list, tuple)):
+            for n in self._neck:   # stacked necks (e.g. FPN → BFP,
+                x = n(x)           # configs/libra_rcnn/libra_retinanet)
+            return x
+        return self._neck(x)
 
     def __call__(self, imgs):
         feats = self.extract_feat(imgs)

@@ -76,6 +76,10 @@ class FCOS(nn.Module):
     test_cfg: Any = None
     img_size: int = 1024
     strides: Sequence[int] = (8, 16, 32, 64, 128)
+    # center sampling (reference FCOSHead.center_sampling /
+    # get_sample_region; the fcos_center config family)
+    center_sampling: bool = False
+    center_sample_radius: float = 1.5
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -129,9 +133,13 @@ class FCOS(nn.Module):
         cls_flat, reg_flat, ctr_flat = self._flatten(
             self._head(self.extract_feat(imgs)))
 
+        radius = (self.center_sample_radius if self.center_sampling
+                  else 0.0)
         labels, tgts, ctr_tgts = jax.vmap(
             lambda g, v, l: fcos_target(self._points,
-                                        self._regress_ranges, g, v, l)
+                                        self._regress_ranges, g, v, l,
+                                        strides=self._pstrides,
+                                        center_sample_radius=radius)
         )(gt_boxes, gt_valid, gt_labels)
 
         pos = labels > 0

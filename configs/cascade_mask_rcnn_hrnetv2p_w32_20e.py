@@ -1,0 +1,8 @@
+# (parity: reference configs/hrnet/cascade_mask_rcnn_hrnetv2p_w32_20e.py)
+_base_ = "cascade_mask_rcnn_r50_fpn_1x.py"
+model = dict(backbone=dict(_delete_=True, type="HRNet", width=32),
+             neck=dict(_delete_=True, type="HRFPN",
+                       in_channels=(32, 64, 128, 256),
+                       out_channels=256, num_outs=5))
+lr_config = dict(step=(16, 19))
+total_epochs = 20

@@ -1,0 +1,8 @@
+# TGRS + mask weights, pre-V4 data (parity: reference
+# configs/dota/centermap_net_tgrs_mask_weight.py)
+_base_ = "dota_centermap_net_tgrs_mask_weight_v4.py"
+data = dict(
+    train=dict(ann_file="data/dota_v1/train_patches.json",
+               img_prefix="data/dota_v1/train_patches"),
+    test=dict(ann_file="data/dota_v1/val_patches.json",
+              img_prefix="data/dota_v1/val_patches", test_mode=True))

@@ -1,0 +1,3 @@
+# lr ablation (parity: reference configs/dota/centermap_obb_r50_fpn_lr002_1x_dota.py)
+_base_ = "dota_centermap_obb_r50_fpn_1x.py"
+optimizer = dict(lr=0.02)

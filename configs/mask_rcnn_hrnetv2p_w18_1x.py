@@ -1,0 +1,6 @@
+# (parity: reference configs/hrnet/mask_rcnn_hrnetv2p_w18_1x.py)
+_base_ = "mask_rcnn_r50_fpn_1x.py"
+model = dict(backbone=dict(_delete_=True, type="HRNet", width=18),
+             neck=dict(_delete_=True, type="HRFPN",
+                       in_channels=(18, 36, 72, 144),
+                       out_channels=256, num_outs=5))

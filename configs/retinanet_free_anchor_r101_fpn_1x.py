@@ -1,0 +1,3 @@
+# (parity: reference configs/free_anchor/retinanet_free_anchor_r101_fpn_1x.py)
+_base_ = "retinanet_free_anchor_r50_fpn_1x.py"
+model = dict(backbone=dict(depth=101))

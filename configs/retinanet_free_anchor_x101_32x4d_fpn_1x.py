@@ -1,0 +1,5 @@
+# (parity: reference configs/free_anchor/
+#  retinanet_free_anchor_x101-32x4d_fpn_1x.py)
+_base_ = "retinanet_free_anchor_r50_fpn_1x.py"
+model = dict(backbone=dict(type="ResNeXt", depth=101, groups=32,
+                           base_width=4))

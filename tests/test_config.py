@@ -38,7 +38,14 @@ def test_all_train_pipelines_construct():
     files = sorted(glob.glob(os.path.join(CFG_DIR, "*.py")))
     for f in files:
         cfg = Config.fromfile(f)
-        TrainPipeline(**cfg.get("train_pipeline", {}))
+        try:
+            TrainPipeline(**cfg.get("train_pipeline", {}))
+        except ImportError as e:
+            # albu/instaboost configs legitimately require optional
+            # packages not vendored in this image; anything else is a
+            # real failure
+            assert ("albumentations" in str(e)
+                    or "instaboostfast" in str(e)), (f, e)
         tp = cfg.get("test_pipeline")
         if tp:
             TestPipeline(**tp)

@@ -269,3 +269,52 @@ def test_gn_gcb_fp16_config_families():
     f3 = jax.jit(
         lambda vv, xx: m3.apply(vv, xx, method="extract_feat"))(v3, x)
     assert f3[0].dtype == jnp.bfloat16
+
+
+def test_fcos_center_sampling_unit():
+    """center_sample_radius restricts positives to the center region
+    (parity: FCOSHead.get_sample_region; the fcos_center config)."""
+    from aidet_tpu.core.points import fcos_target
+    # box 64x64 centered at (32,32); stride 8 → radius 1.5*8=12
+    pts = jnp.asarray([[30., 30.], [58., 58.]])  # center-ish vs corner
+    rr = jnp.asarray([[-1., 1e8], [-1., 1e8]])
+    strides = jnp.asarray([8., 8.])
+    gt = jnp.asarray([[0., 0., 64., 64.]])
+    valid = jnp.asarray([True])
+    lab = jnp.asarray([3])
+    # without center sampling: both points positive
+    l0, _, _ = fcos_target(pts, rr, gt, valid, lab)
+    assert int(l0[0]) == 3 and int(l0[1]) == 3
+    # with center sampling: only the near-center point stays positive
+    l1, _, _ = fcos_target(pts, rr, gt, valid, lab, strides=strides,
+                           center_sample_radius=1.5)
+    assert int(l1[0]) == 3 and int(l1[1]) == 0
+
+
+def test_single_stage_stacked_neck():
+    """neck may be a list (FPN → BFP), parity:
+    configs/libra_rcnn/libra_retinanet_r50_fpn_1x.py."""
+    model = build_detector(dict(
+        type="RetinaNet",
+        backbone=dict(type="ResNet", depth=18),
+        neck=[dict(type="FPN", in_channels=(64, 128, 256, 512),
+                   out_channels=64, num_outs=5, start_level=1,
+                   add_extra_convs=True),
+              dict(type="BFP", in_channels=64, num_levels=5,
+                   refine_level=1)],
+        bbox_head=dict(type="RetinaHead", num_classes=16,
+                       in_channels=64, feat_channels=64,
+                       stacked_convs=1, num_anchors=9),
+        loss_bbox=dict(type="BalancedL1Loss", alpha=0.5, gamma=1.5,
+                       beta=0.11, loss_weight=1.0),
+        test_cfg=dict(nms_pre=200, max_per_img=20),
+        img_size=IMG))
+    data = _fcos_data()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data["imgs"])
+    losses = jax.jit(functools.partial(model.apply, method="loss"))(
+        variables, rngs={"sampling": jax.random.PRNGKey(1)}, **data)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    out = jax.jit(functools.partial(model.apply, method="predict"))(
+        variables, data["imgs"], data["img_shapes"])
+    assert out["boxes"].shape == (1, 20, 4)
