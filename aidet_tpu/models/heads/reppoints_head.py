@@ -31,6 +31,29 @@ def points2bbox_minmax(pts):
                      axis=-1)
 
 
+def points2bbox_moment(x, y, moment_transfer, moment_mul):
+    """Moment transform (reppoints_head.py points2bbox,
+    transform_method='moment'): box = point mean ± std·exp(transfer),
+    where `transfer` is a learned 2-vector that receives only
+    `moment_mul` of the gradient.
+
+    x, y: [..., N] point coordinates (same frame as the output box).
+    """
+    mt = (moment_transfer * moment_mul
+          + jax.lax.stop_gradient(moment_transfer) * (1 - moment_mul))
+    x_mean = x.mean(-1)
+    y_mean = y.mean(-1)
+    # torch.std default is the unbiased estimator (ddof=1)
+    x_std = jnp.sqrt(jnp.maximum(
+        ((x - x_mean[..., None]) ** 2).sum(-1) / (x.shape[-1] - 1), 1e-12))
+    y_std = jnp.sqrt(jnp.maximum(
+        ((y - y_mean[..., None]) ** 2).sum(-1) / (y.shape[-1] - 1), 1e-12))
+    half_w = x_std * jnp.exp(mt[0])
+    half_h = y_std * jnp.exp(mt[1])
+    return jnp.stack([x_mean - half_w, y_mean - half_h,
+                      x_mean + half_w, y_mean + half_h], axis=-1)
+
+
 @HEADS.register
 class RepPointsHead(nn.Module):
     num_classes: int = 16
@@ -41,21 +64,37 @@ class RepPointsHead(nn.Module):
     num_points: int = 9
     gradient_mul: float = 0.1
     prior_prob: float = 0.01
+    # reference RepPointsHead towers carry GN(32) by default
+    # (configs/reppoints/*, norm_cfg=dict(type='GN', num_groups=32));
+    # reppoints_moment_r50_no_gn_fpn_1x.py sets norm_cfg=None
+    norm_cfg: Any = None
     dtype: jnp.dtype = jnp.float32
 
     @property
     def cls_out_channels(self):
         return self.num_classes - 1
 
+    def _norms(self, prefix):
+        if not (self.norm_cfg and self.norm_cfg.get("type") == "GN"):
+            return [lambda v: v] * self.stacked_convs
+        return [nn.GroupNorm(num_groups=self.norm_cfg.get(
+                    "num_groups", 32), dtype=self.dtype,
+                    name=f"{prefix}_gn{i}")
+                for i in range(self.stacked_convs)]
+
     @nn.compact
     def __call__(self, feats):
         n_off = 2 * self.num_points
         cls_tower = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             use_bias=self.norm_cfg is None,
                              dtype=self.dtype, name=f"cls_conv{i}")
                      for i in range(self.stacked_convs)]
         reg_tower = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             use_bias=self.norm_cfg is None,
                              dtype=self.dtype, name=f"reg_conv{i}")
                      for i in range(self.stacked_convs)]
+        cls_norms = self._norms("cls")
+        reg_norms = self._norms("reg")
         init_conv = nn.Conv(self.point_feat_channels, (3, 3), padding=1,
                             dtype=self.dtype, name="pts_init_conv")
         init_out = nn.Conv(n_off, (1, 1), dtype=self.dtype,
@@ -83,9 +122,10 @@ class RepPointsHead(nn.Module):
         cls_scores, init_pts, refine_pts = [], [], []
         for f in feats:
             c = r = f
-            for cc, rr in zip(cls_tower, reg_tower):
-                c = nn.relu(cc(c))
-                r = nn.relu(rr(r))
+            for cc, cn, rr, rn in zip(cls_tower, cls_norms,
+                                      reg_tower, reg_norms):
+                c = nn.relu(cn(cc(c)))
+                r = nn.relu(rn(rr(r)))
             o1 = init_out(nn.relu(init_conv(r)))      # [B,H,W,2N]
             init_pts.append(o1)
 
@@ -117,9 +157,17 @@ class RepPointsDetector(nn.Module):
     img_size: int = 1024
     strides: Sequence[int] = (8, 16, 32, 64, 128)
     point_base_scale: int = 4
+    # points → box transform (reppoints_head.py points2bbox):
+    # 'minmax' | 'partial_minmax' (first 4 points) | 'moment'
+    # (mean ± std·exp(learned transfer), the headline RepPoints method)
+    transform_method: str = "minmax"
+    moment_mul: float = 0.01
     dtype: Any = jnp.float32
 
     def setup(self):
+        if self.transform_method == "moment":
+            self._moment_transfer = self.param(
+                "moment_transfer", nn.initializers.zeros, (2,))
         self._backbone = build_backbone(self.backbone or dict(
             type="ResNet", depth=50, dtype=self.dtype))
         self._neck = build_neck(self.neck or dict(
@@ -158,12 +206,18 @@ class RepPointsDetector(nn.Module):
                                  for x in refine_out], 1))
 
     def _decode(self, pts_flat):
-        """point offsets (in stride units, (dy, dx) pairs) → image boxes."""
+        """point offsets (in stride units, (dy, dx) pairs) → image boxes
+        via the configured transform (reppoints_head.py points2bbox)."""
         st = self._pstrides[:, None]
         dy = pts_flat[..., 0::2] * st
         dx = pts_flat[..., 1::2] * st
         x = self._points[:, 0][:, None] + dx
         y = self._points[:, 1][:, None] + dy
+        if self.transform_method == "moment":
+            return points2bbox_moment(x, y, self._moment_transfer,
+                                      self.moment_mul)
+        if self.transform_method == "partial_minmax":
+            x, y = x[..., :4], y[..., :4]
         return jnp.stack([x.min(-1), y.min(-1), x.max(-1), y.max(-1)],
                          axis=-1)
 

@@ -4,9 +4,12 @@ model = dict(
     backbone=dict(type="ResNet", depth=50),
     neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048),
               out_channels=256, num_outs=5, start_level=1,
-              add_extra_convs=True, extra_convs_on_inputs=False),
+              add_extra_convs=True, extra_convs_on_inputs=False,
+              norm_cfg=dict(type="GN", num_groups=32)),
     bbox_head=dict(type="RepPointsHead", num_classes=81,
-                   in_channels=256),
+                   in_channels=256,
+                   norm_cfg=dict(type="GN", num_groups=32)),
+    transform_method="minmax",
     img_size=1024)
 data = dict(
     train=dict(type="CocoDataset", ann_file="data/coco/train.json",

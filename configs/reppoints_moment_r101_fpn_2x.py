@@ -1,0 +1,3 @@
+# (parity: reference configs/reppoints/reppoints_moment_r101_fpn_2x.py)
+_base_ = "reppoints_moment_r50_fpn_2x.py"
+model = dict(backbone=dict(depth=101))
