@@ -30,7 +30,8 @@ from ...core.sample import sample_fixed
 from ...core.targets import bbox_target, mask_target
 from ...ops.nms import multiclass_nms
 from ...ops.roi_align import multilevel_roi_align_fused
-from ..builder import build_backbone, build_head, build_neck
+from ..builder import (build_backbone, build_head, build_neck,
+                       build_shared_head)
 from ..heads.anchor_head import (anchor_head_loss, flatten_level_outputs,
                                  rpn_proposals)
 from ..losses import CrossEntropyLoss, SmoothL1Loss, mask_cross_entropy
@@ -51,6 +52,9 @@ class CascadeRCNN(nn.Module):
     neck: Any = None
     rpn_head: Any = None
     bbox_head: Any = None          # template config reused per stage
+    # C4-style res5 shared RoI head applied (per stage) to roi crops
+    # before the bbox/mask heads (cascade_rcnn_r50_caffe_c4_1x.py)
+    shared_head: Any = None
     mask_head: Any = None          # mask branch (optional)
     per_stage_masks: bool = False  # HTC: one mask head per stage
     interleaved: bool = False      # HTC: mask trains on refined boxes
@@ -80,6 +84,10 @@ class CascadeRCNN(nn.Module):
         head_cfg["reg_class_agnostic"] = True  # cascade convention
         self._heads = [build_head(dict(head_cfg))
                        for _ in range(self.num_stages)]
+        self._shared_head = (build_shared_head(dict(self.shared_head))
+                             if self.shared_head else None)
+        self._pool_mul = (self._shared_head.stride
+                          if self._shared_head is not None else 1)
         if self.mask_head:
             n = self.num_stages if self.per_stage_masks else 1
             self._mask_heads = [build_head(dict(self.mask_head))
@@ -108,6 +116,16 @@ class CascadeRCNN(nn.Module):
         return batched_multilevel_roi_align(
             list(feats[:4]), rois_b, out_size=out_size,
             featmap_strides=tuple(self.strides[:4]))
+
+    def _apply_shared(self, crops):
+        """res5 shared head over [B, R, s, s, C] roi crops (C4
+        cascades; parity: cascade_rcnn.py bbox branch via ResLayer)."""
+        if self._shared_head is None:
+            return crops
+        b, r = crops.shape[:2]
+        out = self._shared_head(
+            crops.reshape((b * r,) + crops.shape[2:]))
+        return out.reshape((b, r) + out.shape[1:])
 
     def _fuse_semantic(self, crops, sem_feat, rois_b, out_size):
         """RoI-crop the semantic feature and sum into roi feats
@@ -147,8 +165,10 @@ class CascadeRCNN(nn.Module):
             _, sem_feat = self._semantic_head(feats)
         crops = multilevel_roi_align_fused(
             [f[0] for f in feats[:4]], dummy,
-            out_size=self._heads[0].roi_feat_size,
+            out_size=self._heads[0].roi_feat_size * self._pool_mul,
             featmap_strides=tuple(self.strides[:4]))
+        if self._shared_head is not None:
+            crops = self._shared_head(crops)
         outs = [h(crops) for h in self._heads]
         if self._mask_heads is not None:
             mcrops = multilevel_roi_align_fused(
@@ -157,6 +177,8 @@ class CascadeRCNN(nn.Module):
             if sem_feat is not None and "mask" in self.semantic_fusion:
                 mcrops = self._fuse_semantic(
                     mcrops[None], sem_feat[:1], dummy[None], 14)[0]
+            if self._shared_head is not None:
+                mcrops = self._shared_head(mcrops)
             for stage in range(self.num_stages
                                if self.per_stage_masks else 1):
                 outs.append(self._mask_forward(stage, mcrops))
@@ -184,10 +206,12 @@ class CascadeRCNN(nn.Module):
         mcrops = self._roi_features(feats, pos_rois, 14)
         if sem_feat is not None and "mask" in self.semantic_fusion:
             mcrops = self._fuse_semantic(mcrops, sem_feat, pos_rois, 14)
+        mcrops = self._apply_shared(mcrops)
         flat = mcrops.reshape((b * p_max,) + mcrops.shape[2:])
         mask_pred = self._mask_forward(stage, flat)
-        head = self._mask_heads[min(stage, len(self._mask_heads) - 1)]
-        msize = 14 * head.upsample_ratio
+        # target size = actual head output resolution (a C4 shared
+        # head shrinks the 14-crop to 7 before the mask head)
+        msize = mask_pred.shape[1]
         mscale = gt_masks.shape[-1] / self.img_size
         mtgt = jax.vmap(lambda s, ro, m: mask_target(
             s, ro * mscale, m, msize))(pos_sample, pos_rois, gt_masks)
@@ -265,12 +289,11 @@ class CascadeRCNN(nn.Module):
             sample, rois = self._sample_stage(
                 cand, cand_valid, gt_boxes, gt_valid, thr, r,
                 rc["pos_fraction"], rc["neg_pos_ub"], skeys)
-            crops = self._roi_features(feats, rois,
-                                       self._heads[stage].roi_feat_size)
+            psize = self._heads[stage].roi_feat_size * self._pool_mul
+            crops = self._roi_features(feats, rois, psize)
             if sem_feat is not None and "bbox" in self.semantic_fusion:
-                crops = self._fuse_semantic(
-                    crops, sem_feat, rois,
-                    self._heads[stage].roi_feat_size)
+                crops = self._fuse_semantic(crops, sem_feat, rois, psize)
+            crops = self._apply_shared(crops)
             flat = crops.reshape((b * r,) + crops.shape[2:])
             cls_score, bbox_pred = self._heads[stage](flat)
 
@@ -355,12 +378,11 @@ class CascadeRCNN(nn.Module):
         ms_scores = []
         bbox_pred = None
         for stage in range(self.num_stages):
-            crops = self._roi_features(feats, rois,
-                                       self._heads[stage].roi_feat_size)
+            psize = self._heads[stage].roi_feat_size * self._pool_mul
+            crops = self._roi_features(feats, rois, psize)
             if sem_feat is not None and "bbox" in self.semantic_fusion:
-                crops = self._fuse_semantic(
-                    crops, sem_feat, rois,
-                    self._heads[stage].roi_feat_size)
+                crops = self._fuse_semantic(crops, sem_feat, rois, psize)
+            crops = self._apply_shared(crops)
             flat = crops.reshape((b * p,) + crops.shape[2:])
             cls_score, bbox_pred = self._heads[stage](flat)
             ms_scores.append(jax.nn.softmax(
@@ -399,6 +421,7 @@ class CascadeRCNN(nn.Module):
             if sem_feat is not None and "mask" in self.semantic_fusion:
                 mcrops = self._fuse_semantic(mcrops, sem_feat,
                                              det_rois, 14)
+            mcrops = self._apply_shared(mcrops)
             flat = mcrops.reshape((b * k,) + mcrops.shape[2:])
             preds = []
             n_mask = (self.num_stages if self.per_stage_masks else 1)

@@ -238,6 +238,10 @@ class TwoStageDetector(nn.Module):
             mcrops = multilevel_roi_align_fused(
                 [f[0] for f in feats[:4]], dummy_rois, out_size=14,
                 featmap_strides=tuple(self.strides[:4]))
+            if self._shared_head is not None:
+                # C4 models: mask head rides the res5 shared-head output
+                # (mask_rcnn_r50_caffe_c4_1x.py — pool 14 → res5 → 7)
+                mcrops = self._shared_head(mcrops)
             mp = self._mask_head(mcrops)
             outs += (mp,)
             if self._mask_iou_head is not None:
@@ -733,11 +737,14 @@ class TwoStageDetector(nn.Module):
             if sem_feat is not None:
                 mcrops = self._fuse_semantic(mcrops, sem_feat,
                                              pos_rois, 14)
+            mcrops = self._apply_shared(mcrops)
             mask_pred = self._mask_head(
                 mcrops.reshape((b * p_max,) + mcrops.shape[2:]))
             # target size must equal the head's output resolution
-            # (roi 14 × upsample; 28 in the reference configs)
-            msize = 14 * self._mask_head.upsample_ratio
+            # (roi 14 × upsample, 28 in the reference FPN configs;
+            # with a C4 shared head the crop shrinks to 7 first, so
+            # read the size off the actual prediction)
+            msize = mask_pred.shape[1]
             # gt_masks may be rasterised below image resolution; scale
             # rois into mask coordinates before cropping
             mscale = gt_masks.shape[-1] / self.img_size
@@ -1056,6 +1063,7 @@ class TwoStageDetector(nn.Module):
             if sem_feat is not None:
                 mcrops = self._fuse_semantic(mcrops, sem_feat,
                                              det_rois, 14)
+            mcrops = self._apply_shared(mcrops)
             k = det_rois.shape[1]
             mask_pred = self._mask_head(
                 mcrops.reshape((b * k,) + mcrops.shape[2:]))

@@ -109,3 +109,43 @@ def test_htc_mask_info_flow_chain():
     assert "conv_res" not in params["_mask_heads_0"]
     assert "conv_res" in params["_mask_heads_1"]
     assert "conv_res" in params["_mask_heads_2"]
+
+
+def test_cascade_rcnn_c4_train_and_infer():
+    """C4 cascade: Identity neck, per-stage res5 shared head before an
+    avg-pool BBoxHead (parity: configs/cascade_rcnn_r50_caffe_c4_1x.py)."""
+    model = build_detector(dict(
+        type="CascadeRCNN",
+        backbone=dict(type="ResNet", depth=18, num_stages=3,
+                      out_indices=(2,)),
+        neck=dict(type="Identity"),
+        shared_head=dict(type="ResLayer", depth=18, stage=3, stride=2),
+        rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=64,
+                      num_anchors=6),
+        bbox_head=dict(type="BBoxHead", with_avg_pool=True,
+                       num_classes=16, in_channels=512, roi_feat_size=7),
+        mask_head=dict(type="FCNMaskHead", num_convs=0, in_channels=512,
+                       conv_out_channels=64, num_classes=16,
+                       upsample_ratio=2),
+        strides=(16,),
+        anchor_scales=(4, 8),
+        train_cfg=dict(
+            rpn_proposal=dict(nms_pre=200, nms_post=64, max_num=64),
+            rcnn=dict(num_samples=32)),
+        test_cfg=dict(rpn=dict(nms_pre=200, nms_post=64, max_num=64),
+                      rcnn=dict(max_per_img=20)),
+        img_size=IMG))
+    data = demo_inputs(batch=1, with_mask=True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data["imgs"])
+    assert "_shared_head" in variables["params"]
+    losses = jax.jit(functools.partial(model.apply, method="loss"))(
+        variables, rngs={"sampling": jax.random.PRNGKey(1)}, **data)
+    assert {"s0.loss_cls", "s2.loss_bbox", "loss_mask",
+            "loss_rpn_cls"} <= set(losses)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    out = jax.jit(functools.partial(model.apply, method="predict"))(
+        variables, data["imgs"], data["img_shapes"])
+    assert out["boxes"].shape == (1, 20, 4)
+    # C4 mask head: 14-crop → res5 → 7 → 2x deconv → 14
+    assert out["masks"].shape[-1] == 14

@@ -312,3 +312,38 @@ def test_faster_rcnn_c4_train_and_infer():
     out = _predict(model, variables, data)
     assert out["boxes"].shape == (2, 20, 4)
     assert out["labels"].shape == (2, 20)
+
+
+def test_mask_rcnn_c4_train_and_infer():
+    """C4 Mask R-CNN: mask branch rides the res5 shared head
+    (parity: configs/mask_rcnn_r50_caffe_c4_1x.py)."""
+    model = build_detector(dict(
+        type="MaskRCNN",
+        backbone=dict(type="ResNet", depth=18, num_stages=3,
+                      out_indices=(2,)),
+        neck=dict(type="Identity"),
+        shared_head=dict(type="ResLayer", depth=18, stage=3, stride=2),
+        rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=64,
+                      num_anchors=6),
+        bbox_head=dict(type="BBoxHead", with_avg_pool=True,
+                       num_classes=16, in_channels=512, roi_feat_size=7),
+        mask_head=dict(type="FCNMaskHead", num_convs=0, in_channels=512,
+                       conv_out_channels=64, num_classes=16,
+                       upsample_ratio=2),
+        strides=(16,),
+        anchor_scales=(4, 8),
+        train_cfg=dict(
+            rpn_proposal=dict(nms_pre=200, nms_post=64, max_num=64),
+            rcnn=dict(num_samples=32, pos_fraction=0.25)),
+        test_cfg=dict(rpn=dict(nms_pre=200, nms_post=64, max_num=64),
+                      rcnn=dict(max_per_img=20)),
+        img_size=IMG))
+    data = demo_inputs(batch=1, with_mask=True)
+    variables, losses = _init_and_loss(model, data)
+    assert {"loss_cls", "loss_bbox", "loss_mask",
+            "loss_rpn_cls"} <= set(losses)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    out = _predict(model, variables, data)
+    assert out["boxes"].shape == (1, 20, 4)
+    assert out["masks"].shape[-1] == 14
