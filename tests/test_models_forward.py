@@ -347,3 +347,29 @@ def test_mask_rcnn_c4_train_and_infer():
     out = _predict(model, variables, data)
     assert out["boxes"].shape == (1, 20, 4)
     assert out["masks"].shape[-1] == 14
+
+
+def test_ga_rpn_detector():
+    """GA-RPN proposal-only model (parity:
+    configs/guided_anchoring/ga_rpn_r50_caffe_fpn_1x.py)."""
+    from aidet_tpu.models.detectors.rpn import RPN
+    model = RPN(backbone=dict(type="ResNet", depth=18),
+                neck=dict(type="FPN", in_channels=(64, 128, 256, 512),
+                          out_channels=64, num_outs=5),
+                rpn_head=dict(type="GARPNHead", in_channels=64,
+                              feat_channels=64),
+                test_cfg=dict(rpn=dict(nms_pre=200, nms_post=100,
+                                       max_num=100)),
+                img_size=IMG)
+    data = demo_inputs(batch=1)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), data["imgs"])
+    losses = jax.jit(functools.partial(model.apply, method="loss"))(
+        variables, rngs={"sampling": jax.random.PRNGKey(1)},
+        imgs=data["imgs"], gt_boxes=data["gt_boxes"],
+        gt_valid=data["gt_valid"], img_shapes=data["img_shapes"])
+    assert {"loss_rpn_loc", "loss_rpn_shape", "loss_rpn_cls",
+            "loss_rpn_bbox"} == set(losses)
+    for k, v in losses.items():
+        assert bool(jnp.isfinite(v)), k
+    out = _predict(model, variables, data)
+    assert out["boxes"].shape == (1, 100, 4)
