@@ -57,16 +57,26 @@ def aug_test_image(model, variables, img, scales=(1024,),
                       np.asarray([sample["scale_factors"]], np.float32))
         out = jax.device_get(out)
         v = out["valid"][0]
-        boxes = out["boxes"][0][v]
-        if f:
-            boxes = flip_boxes_back(boxes, w0)
+        raw_boxes = out["boxes"][0][v]
+        boxes = flip_boxes_back(raw_boxes, w0) if f else raw_boxes
         det = dict(boxes=boxes, scores=out["scores"][0][v],
                    labels=out["labels"][0][v],
-                   valid=np.ones(v.sum(), bool))
+                   valid=np.ones(int(v.sum()), bool))
+        quads = None
         if rbox_encode is not None and "rboxes" in out:
             rb = out["rboxes"][0][v]
             quads = np.asarray(
                 R.RBBOX_CODECS[rbox_encode][3](jnp.asarray(rb)))
+        elif "masks" in out:
+            # mask-emitting OBB models (MaskOBB / CenterMapOBB): each
+            # variant's OBB comes from its predicted masks via
+            # min-area-rect (datasets/dota.py:160-196 segm2txt parity).
+            # Crops are roi-relative, so paste against the PRE-flip-back
+            # boxes and flip the resulting quads instead.
+            from ..core.masks import masks_to_thetaobbs
+            tobbs = masks_to_thetaobbs(out["masks"][0][v], raw_boxes)
+            quads = np.asarray(R.thetaobb2pointobb(jnp.asarray(tobbs)))
+        if quads is not None:
             if f:
                 quads = np.asarray(R.pointobb_flip(
                     jnp.asarray(quads), (h0, w0)))
@@ -79,7 +89,7 @@ def aug_test_image(model, variables, img, scales=(1024,),
         num_classes=num_classes, iou_thr=iou_thr, box_type="box")
 
     out = dict(merged)
-    if rbox_encode is not None and any("quads" in d for d in dets):
+    if any("quads" in d for d in dets):
         # fuse quads through the same per-class NMS on their own merge
         qdets = [dict(boxes=d["quads"], scores=d["scores"],
                       labels=d["labels"], valid=d["valid"])

@@ -1,0 +1,31 @@
+# Tiny e2e variant of mask_obb_r50_fpn_1x_dota.py (R18@512, the
+# synthetic-devkit recipe): the fifth flagship OBB encoding — OBBs
+# extracted from predicted instance masks via min-area-rect at eval
+# (parity: reference mmdet/models/detectors/mask_obb.py:5-31,
+# mmdet/datasets/dota.py:160-196 segm2txt).
+_base_ = "mask_obb_r50_fpn_1x_dota.py"
+# GN backbone/neck: this recipe trains FROM SCRATCH on the synthetic
+# devkit, where FrozenBN (reference fine-tuning semantics) gives no
+# activation-scale control and the unnormalized net drifts to an
+# activation explosion (round-3 post-mortem).
+model = dict(
+    backbone=dict(depth=18, norm_cfg=dict(type="GN", num_groups=32)),
+    neck=dict(in_channels=(64, 128, 256, 512), out_channels=128,
+              norm_cfg=dict(type="GN", num_groups=32)),
+    img_size=512,
+    rpn_head=dict(in_channels=128, feat_channels=128),
+    bbox_head=dict(in_channels=128, fc_out_channels=512),
+    mask_head=dict(in_channels=128, conv_out_channels=128),
+)
+data = dict(
+    train=dict(ann_file="data/dota_e2e_xl/train_patches.json",
+               img_prefix="data/dota_e2e_xl/train_patches"),
+    test=dict(ann_file="data/dota_e2e_xl/val_patches.json",
+              img_prefix="data/dota_e2e_xl/val_patches"),
+)
+train_pipeline = dict(img_size=512, max_gt=128, with_rbox=True,
+                      with_mask=True, mask_size=128)
+optimizer = dict(lr=0.004, grad_clip_norm=10.0)
+lr_config = dict(warmup_iters=200, step=(9, 11))
+total_epochs = 12
+batch_size = 2

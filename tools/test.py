@@ -21,6 +21,11 @@ def parse_args():
     p.add_argument("--submit-dir", default=None,
                    help="write DOTA submission txt files here")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--tta", action="store_true",
+                   help="multi-scale/flip TTA per image, driven by the "
+                        "config's tta = dict(scales=..., flip=...) "
+                        "block (parity: MultiScaleFlipAug test "
+                        "pipelines, e.g. the centermap ms protocol)")
     p.add_argument("--n-devices", type=int, default=None,
                    help="shard each batch over an n-device data mesh "
                         "(default: all visible devices when >1)")
@@ -67,12 +72,42 @@ def main():
         mesh = Mesh(np.asarray(jax.local_devices()[:n_dev]), ("data",))
         logger.info("sharding eval batches over %d local devices",
                     n_dev)
-    # one shard per host process (parity: mmdet/apis/test.py:31-73)
-    results, names = run_inference(
-        model, variables, dataset, batch_size=args.batch_size,
-        mesh=mesh, num_shards=jax.process_count(),
-        shard_id=jax.process_index(),
-        pipeline_cfg=cfg.get("test_pipeline"))
+    if args.tta:
+        import cv2
+
+        from aidet_tpu.apis.tta import aug_test_image
+        tta_cfg = dict(cfg.get("tta") or {})
+        scales = tuple(tta_cfg.get("scales", (model.img_size,)))
+        flip = bool(tta_cfg.get("flip", True))
+        encode = (None if getattr(model, "mask_head", None)
+                  else getattr(model, "rbbox_encode", None))
+        logger.info("TTA: scales=%s flip=%s", scales, flip)
+        results, names = [], []
+        for i in range(len(dataset)):
+            if i % jax.process_count() != jax.process_index():
+                continue
+            img = cv2.imread(dataset.img_path(i))
+            m = aug_test_image(model, variables, img, scales=scales,
+                               flip=flip, rbox_encode=encode)
+            r = dict(boxes=m["boxes"], scores=m["scores"],
+                     labels=m["labels"],
+                     valid=np.ones(len(m["scores"]), bool))
+            if "quads" in m:
+                # already in quad (pointobb) form, fused by per-class
+                # rotated NMS across variants — carries its own
+                # scores/labels (the quad-side merge is independent of
+                # the hbb-side merge)
+                r.update(quads=m["quads"], quad_scores=m["quad_scores"],
+                         quad_labels=m["quad_labels"])
+            results.append(r)
+            names.append(dataset.img_infos[i]["file_name"])
+    else:
+        # one shard per host process (parity: mmdet/apis/test.py:31-73)
+        results, names = run_inference(
+            model, variables, dataset, batch_size=args.batch_size,
+            mesh=mesh, num_shards=jax.process_count(),
+            shard_id=jax.process_index(),
+            pipeline_cfg=cfg.get("test_pipeline"))
     logger.info("ran inference on %d images", len(results))
     if args.out:
         with open(args.out, "wb") as f:
@@ -93,6 +128,15 @@ def main():
             from aidet_tpu.core.masks import masks_to_thetaobbs
             from aidet_tpu.core.rboxes import thetaobb2pointobb
             for r in results:
+                if task == "obb" and "quads" in r:
+                    # TTA path: quads come pre-fused with their own
+                    # scores/labels
+                    dets.append(dict(
+                        boxes=np.asarray(r["quads"]),
+                        scores=np.asarray(r["quad_scores"]),
+                        labels=np.asarray(r["quad_labels"]),
+                        valid=np.ones(len(r["quad_scores"]), bool)))
+                    continue
                 if task == "obb" and "rboxes" in r:
                     boxes = np.asarray(to_quad(jnp.asarray(r["rboxes"])))
                 elif task == "obb" and "masks" in r:
