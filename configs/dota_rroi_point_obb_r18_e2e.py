@@ -17,13 +17,13 @@ model = dict(
     rbbox_refine_head=dict(in_channels=128, fc_out_channels=512),
 )
 data = dict(
-    train=dict(ann_file="data/dota_e2e/train_patches.json",
-               img_prefix="data/dota_e2e/train_patches"),
-    test=dict(ann_file="data/dota_e2e/val_patches.json",
-              img_prefix="data/dota_e2e/val_patches"),
+    train=dict(ann_file="data/dota_e2e_xl/train_patches.json",
+               img_prefix="data/dota_e2e_xl/train_patches"),
+    test=dict(ann_file="data/dota_e2e_xl/val_patches.json",
+              img_prefix="data/dota_e2e_xl/val_patches"),
 )
 train_pipeline = dict(img_size=512, max_gt=128)
 optimizer = dict(lr=0.004, grad_clip_norm=10.0)
-lr_config = dict(warmup_iters=50, step=(20, 23))
-total_epochs = 25
+lr_config = dict(warmup_iters=200, step=(9, 11))
+total_epochs = 12
 batch_size = 2
