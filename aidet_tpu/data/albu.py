@@ -1,8 +1,12 @@
 """Albumentations wrapper (parity: pipelines/transforms.py:865-1010 Albu).
 
-Optional-dependency style: constructing :class:`AlbuTransform` without
-`albumentations` installed raises immediately with a clear message (no
-silent identity fallback — the round-1 InstaBoost lesson).
+Prefers the real `albumentations` package when installed; otherwise
+falls back to the vendored pure-numpy subset (`_vendor_albu`) that
+implements exactly the transforms the reference's albu example config
+uses (configs/albu_example/mask_rcnn_r50_fpn_1x.py: ShiftScaleRotate,
+RandomBrightnessContrast, ChannelShuffle, Blur, MedianBlur, OneOf).
+A transform outside that subset without the real package raises at
+construction (no silent identity — the round-1 InstaBoost lesson).
 """
 
 from __future__ import annotations
@@ -36,11 +40,9 @@ class AlbuTransform:
     def __init__(self, transforms, min_visibility: float = 0.1):
         try:
             import albumentations
-        except ImportError as e:
-            raise ImportError(
-                "AlbuTransform requires the `albumentations` package; "
-                "install it or remove the `albu` entry from "
-                "train_pipeline") from e
+        except ImportError:
+            from . import _vendor_albu as albumentations
+            self._check_vendored_subset(transforms, albumentations)
         self._albu = albumentations
         self.aug = albumentations.Compose(
             [_albu_builder(t, albumentations) for t in transforms],
@@ -50,6 +52,21 @@ class AlbuTransform:
             keypoint_params=albumentations.KeypointParams(
                 format="xy", remove_invisible=False),
         )
+
+    @staticmethod
+    def _check_vendored_subset(transforms, vendor):
+        def walk(cfgs):
+            for cfg in cfgs:
+                t = cfg["type"] if isinstance(cfg, dict) else cfg
+                if isinstance(t, str) and not hasattr(vendor, t):
+                    raise ImportError(
+                        f"albumentations is not installed and the "
+                        f"vendored subset has no {t!r}; install "
+                        f"`albumentations` or restrict the pipeline to "
+                        f"the vendored transforms")
+                if isinstance(cfg, dict) and "transforms" in cfg:
+                    walk(cfg["transforms"])
+        walk(transforms)
 
     def __call__(self, img, boxes, labels, pointobbs=None):
         n = len(boxes)

@@ -48,19 +48,44 @@ def test_convws_and_scale():
     np.testing.assert_allclose(np.asarray(sc.apply(vv, x)), 2.0)
 
 
-def test_instaboost_loud_without_package():
-    import importlib.util
-    import pytest
-    if importlib.util.find_spec("instaboostfast") is not None:
-        pytest.skip("instaboostfast installed")
-    with pytest.raises(ImportError, match="instaboostfast"):
-        InstaBoost()
-    # explicit opt-in keeps configs loadable as a no-op
-    ib = InstaBoost(allow_identity=True)
-    img = np.zeros((8, 8, 3), np.uint8)
-    anns = [dict(bbox=[1, 1, 3, 3])]
-    img2, anns2 = ib(img, anns)
-    assert img2 is img and anns2 is anns
+def test_instaboost_map_and_paste_executes():
+    """The native map-and-paste core must actually move an instance:
+    pixels change, the bbox/segm/pointobb follow the same affine, and
+    instances without segm ride through untouched."""
+    rs = np.random.RandomState(5)
+    img = np.full((96, 128, 3), 30, np.uint8)
+    # a bright square instance at [40:60, 50:70]
+    img[40:60, 50:70] = 220
+    poly = [50.0, 40.0, 69.0, 40.0, 69.0, 59.0, 50.0, 59.0]
+    anns = dict(
+        bboxes=np.asarray([[50, 40, 69, 59], [5, 5, 20, 20]],
+                          np.float32),
+        labels=np.asarray([1, 2], np.int32),
+        segmentations=[[poly], None],
+        pointobbs=np.asarray([poly, [5, 5, 20, 5, 20, 20, 5, 20]],
+                             np.float32),
+    )
+    ib = InstaBoost(aug_ratio=1.0, dx=8, dy=8, scale=(1.0, 1.0),
+                    theta=(0, 0), color_prob=0.0, seed=3)
+    img2, anns2 = ib(img, dict(anns))
+    assert img2.shape == img.shape
+    assert np.abs(img2.astype(int) - img.astype(int)).sum() > 0
+    b0, b1 = anns2["bboxes"]
+    # instance 0 moved (translation-only jitter, dx/dy up to 8 px)
+    assert not np.allclose(b0, anns["bboxes"][0])
+    assert np.allclose(b1, anns["bboxes"][1])  # no segm → untouched
+    # pointobb followed the same affine as the bbox corners
+    shift = b0[:2] - anns["bboxes"][0][:2]
+    np.testing.assert_allclose(
+        anns2["pointobbs"][0],
+        anns["pointobbs"][0] + np.tile(shift, 4), atol=1.0)
+    # the pasted instance is bright at its new bbox centre
+    cx, cy = int((b0[0] + b0[2]) / 2), int((b0[1] + b0[3]) / 2)
+    assert img2[cy, cx].mean() > 150
+    # sample-level gate: aug_ratio=0 is identity
+    ib0 = InstaBoost(aug_ratio=0.0, seed=3)
+    img3, anns3 = ib0(img, anns)
+    assert img3 is img and anns3 is anns
 
 
 def test_generalized_attention_variants():

@@ -121,14 +121,58 @@ def test_concat_and_repeat_wrappers():
     assert r.img_path(5) == "z1.png"
 
 
-def test_albu_missing_dependency_is_loud():
-    """AlbuTransform must fail at construction when albumentations is
-    absent — never degrade to identity (round-1 InstaBoost lesson)."""
+ALBU_EXAMPLE = [  # the reference albu_example transform list
+    dict(type="ShiftScaleRotate", shift_limit=0.0625, scale_limit=0.0,
+         rotate_limit=15, interpolation=1, p=1.0),
+    dict(type="RandomBrightnessContrast", brightness_limit=(0.1, 0.3),
+         contrast_limit=(0.1, 0.3), p=1.0),
+    dict(type="ChannelShuffle", p=1.0),
+    dict(type="OneOf", transforms=[
+        dict(type="Blur", blur_limit=3, p=1.0),
+        dict(type="MedianBlur", blur_limit=3, p=1.0)], p=1.0),
+]
+
+
+def test_albu_executes_real_augmentation():
+    """The albu stage must actually transform pixels and geometry —
+    with the real package when installed, else the vendored numpy
+    subset (`data/_vendor_albu.py`). p=1.0 everywhere so the assert is
+    deterministic."""
+    from aidet_tpu.data.albu import AlbuTransform
+
+    rs = np.random.RandomState(3)
+    img = (rs.rand(96, 128, 3) * 255).astype(np.uint8)
+    boxes = np.asarray([[20, 20, 60, 50], [70, 40, 120, 90]], np.float32)
+    labels = np.asarray([1, 2])
+    pobbs = np.asarray([[20, 20, 60, 20, 60, 50, 20, 50],
+                        [70, 40, 120, 40, 120, 90, 70, 90]], np.float32)
+
+    tf = AlbuTransform(ALBU_EXAMPLE)
+    out_img, out_boxes, out_labels, out_pobbs = tf(
+        img, boxes, labels, pobbs)
+
+    assert out_img.shape == img.shape
+    assert np.abs(out_img.astype(np.int32)
+                  - img.astype(np.int32)).mean() > 1.0  # pixels moved
+    assert out_boxes.shape[1] == 4 and len(out_boxes) >= 1
+    assert len(out_labels) == len(out_boxes)
+    assert out_pobbs is not None and out_pobbs.shape[1] == 8
+    # ShiftScaleRotate(rotate 15°) must have moved the geometry
+    assert not np.allclose(out_pobbs[: len(pobbs)], pobbs, atol=0.5)
+    # boxes stay on-canvas (pascal_voc clip)
+    assert (out_boxes[:, [0, 2]] <= 128).all()
+    assert (out_boxes[:, [1, 3]] <= 96).all()
+    assert (out_boxes >= 0).all()
+
+
+def test_albu_unknown_transform_is_loud_without_package():
+    """Falling back to the vendored subset must stay loud for
+    transforms outside it — never degrade to identity (round-1
+    InstaBoost lesson)."""
     import importlib.util
     import pytest
-    from aidet_tpu.data.pipeline import TrainPipeline
+    from aidet_tpu.data.albu import AlbuTransform
     if importlib.util.find_spec("albumentations") is not None:
-        pytest.skip("albumentations installed; loud-failure N/A")
-    with pytest.raises(ImportError, match="albumentations"):
-        TrainPipeline(img_size=64,
-                      albu=[dict(type="RandomBrightnessContrast")])
+        pytest.skip("albumentations installed; vendored gate N/A")
+    with pytest.raises(ImportError, match="vendored"):
+        AlbuTransform([dict(type="ElasticTransform", p=0.5)])
