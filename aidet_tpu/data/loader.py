@@ -24,7 +24,7 @@ class GroupedLoader:
                  shuffle: bool = True, seed: int = 0,
                  num_workers: int = 4,
                  num_shards: int = 1, shard_id: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, prefetch: int = 2):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
@@ -34,6 +34,7 @@ class GroupedLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.drop_last = drop_last
+        self.prefetch = max(1, prefetch)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -93,13 +94,52 @@ class GroupedLoader:
         return self.pipeline(img, self.dataset.parse_anns(i))
 
     def __iter__(self):
+        """Yield collated batches, produced by a background thread so
+        host decode/augment overlaps the (async-dispatched) device
+        step — without prefetch the loop alternates host 100% / chip
+        100% and both wait on each other."""
+        import queue
+        import threading
+
         bs = self.batch_size
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for chunk in self._chunks():
-                samples = list(pool.map(self._load, chunk))
-                while len(samples) < bs:   # pad final partial batch
-                    samples.append(samples[-1])
-                yield collate_batch(samples)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        SENTINEL = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in self._chunks():
+                        samples = list(pool.map(self._load, chunk))
+                        while len(samples) < bs:  # pad final partial
+                            samples.append(samples[-1])
+                        batch = collate_batch(samples)
+                        while not stop.is_set():
+                            try:
+                                q.put(batch, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+            except BaseException as e:  # surface worker errors
+                q.put(e)
+                return
+            q.put(SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="loader-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def __len__(self):
         return len(self._chunks())

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import rboxes as R
+from . import np_rboxes as NR
 from . import transforms as T
 
 IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
@@ -32,8 +32,7 @@ def normalize_image(img, mean=IMAGENET_MEAN, std=IMAGENET_STD, to_rgb=True):
 def _np_best_point_sort(pointobbs):
     if len(pointobbs) == 0:
         return pointobbs
-    import jax.numpy as jnp
-    return np.asarray(R.pointobb_best_point_sort(jnp.asarray(pointobbs)))
+    return NR.pointobb_best_point_sort(np.asarray(pointobbs))
 
 
 def resize_keep_ratio(img, target: int):
@@ -187,9 +186,7 @@ class TrainPipeline:
             x2 = w - boxes[:, 0] - 1
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], -1)
             if pointobbs is not None and len(pointobbs):
-                import jax.numpy as jnp
-                pointobbs = np.asarray(
-                    R.pointobb_flip(jnp.asarray(pointobbs), (h, w)))
+                pointobbs = NR.pointobb_flip(pointobbs, (h, w))
 
         img = normalize_image(img, self.mean, self.std, self.to_rgb)
         padded = np.zeros((size, size, img.shape[-1]), np.float32)
@@ -209,7 +206,6 @@ class TrainPipeline:
                       img_shapes=np.asarray([h, w], np.float32))
 
         if self.with_rbox and pointobbs is not None:
-            import jax.numpy as jnp
             p = _np_best_point_sort(pointobbs[:n]) if n else \
                 np.zeros((0, 8), np.float32)
             d = {"thetaobb": 5, "pointobb": 8, "hobb": 5}[self.rbox_encode]
@@ -218,11 +214,9 @@ class TrainPipeline:
                 if self.rbox_encode == "pointobb":
                     out_r[:n] = p
                 elif self.rbox_encode == "thetaobb":
-                    out_r[:n] = np.asarray(
-                        R.pointobb2thetaobb(jnp.asarray(p)))
+                    out_r[:n] = NR.pointobb2thetaobb(p)
                 else:
-                    out_r[:n] = np.asarray(
-                        R.pointobb2hobb(jnp.asarray(p)))
+                    out_r[:n] = NR.pointobb2hobb(p)
             sample["gt_rboxes"] = out_r
 
         if self.with_mask:

@@ -339,3 +339,64 @@ def test_grouped_loader_shard_uniform_and_single_group():
         for chunk in ld._chunks():
             seen.update(chunk.tolist())
     assert len(seen) == 1007
+
+
+def test_np_rboxes_parity():
+    """The host pipeline's numpy geometry (data/np_rboxes.py) must stay
+    in lock-step with the on-device jax originals (core/rboxes.py) —
+    the loader path must never dispatch jax ops (3 s/batch over the
+    tunnel, round-4 post-mortem)."""
+    import jax.numpy as jnp
+
+    from aidet_tpu.core import rboxes as R
+    from aidet_tpu.data import np_rboxes as NR
+
+    rng = np.random.RandomState(7)
+    theta = np.stack([rng.uniform(100, 900, 64),
+                      rng.uniform(100, 900, 64),
+                      rng.uniform(8, 120, 64),
+                      rng.uniform(8, 120, 64),
+                      rng.uniform(-np.pi / 2, -1e-3, 64)],
+                     -1).astype(np.float32)
+    p = np.asarray(R.thetaobb2pointobb(jnp.asarray(theta)))
+
+    for name in ("pointobb2bbox", "pointobb_best_point_sort",
+                 "pointobb2thetaobb", "pointobb2hobb"):
+        got = getattr(NR, name)(p)
+        want = np.asarray(getattr(R, name)(jnp.asarray(p)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2,
+                                   err_msg=name)
+    got = NR.pointobb_flip(p, (1024, 1024))
+    want = np.asarray(R.pointobb_flip(jnp.asarray(p), (1024, 1024)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_pipeline_host_path_has_no_jax(monkeypatch):
+    """TrainPipeline.__call__ on a rbox sample must complete without
+    importing/dispatching jax (regression guard for the host-bound
+    train loop)."""
+    import builtins
+    import sys
+
+    from aidet_tpu.data.pipeline import TrainPipeline
+
+    pipe = TrainPipeline(img_size=64, max_gt=8, flip_ratio=1.0,
+                         with_rbox=True, rbox_encode="thetaobb")
+    img = np.random.RandomState(0).randint(
+        0, 255, (64, 64, 3), np.uint8)
+    quad = np.array([[10, 10, 30, 12, 28, 25, 8, 23]], np.float32)
+    anns = dict(bboxes=np.array([[8, 10, 30, 25]], np.float32),
+                labels=np.array([1], np.int32),
+                pointobbs=quad)
+
+    real_import = builtins.__import__
+
+    def guarded(name, *a, **k):
+        if name == "jax" or name.startswith("jax."):
+            raise AssertionError("host pipeline imported jax")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", guarded)
+    out = pipe(img, anns)
+    assert out["gt_rboxes"].shape == (8, 5)
+    assert out["gt_valid"][0]
