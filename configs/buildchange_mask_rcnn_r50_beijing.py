@@ -1,0 +1,10 @@
+# Per-city BuildChange roof model (parity: reference
+# configs/buildchange/bc_v00*_mask_rcnn_r50_v2_beijing_roof.py — train on
+# one city, evaluate cross-city via tools/buildchange_eval.py --city)
+_base_ = "buildchange_mask_rcnn_r50.py"
+city = "beijing"
+data = dict(
+    train=dict(ann_file="data/buildchange/annotations/train_beijing.json",
+               img_prefix="data/buildchange/beijing/images"),
+    test=dict(ann_file="data/buildchange/annotations/val_beijing.json",
+              img_prefix="data/buildchange/beijing/images"))
