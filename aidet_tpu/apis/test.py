@@ -35,6 +35,14 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
     pcfg = dict(pipeline_cfg or {})
     pcfg.setdefault("img_size", img_size
                     or getattr(model, "img_size", 1024))
+    # default to raw-uint8 transfer + on-device normalization (4x less
+    # host->device traffic) — but only when the pipeline uses the
+    # stock ImageNet constants; custom mean/std stay on the host
+    # unless the model carries matching img_norm (caffe variants)
+    pcfg.setdefault(
+        "device_normalize",
+        not any(k in pcfg for k in ("mean", "std", "to_rgb"))
+        or getattr(model, "img_norm", None) is not None)
     pipe = TestPipeline(**pcfg)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

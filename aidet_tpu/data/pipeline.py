@@ -66,7 +66,8 @@ class TrainPipeline:
                  seg_scale: int = 4,
                  scale_range=None, albu=None, instaboost=None,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                 to_rgb: bool = True, seed: int = 0):
+                 to_rgb: bool = True, device_normalize: bool = False,
+                 seed: int = 0):
         """mask_type: 'binary' (Mask R-CNN / MaskOBB) or 'centermap'
         (soft centerness pseudo-masks, loading.py:160-178).
 
@@ -117,6 +118,7 @@ class TrainPipeline:
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_rgb = to_rgb
+        self.device_normalize = device_normalize
         # optional albumentations stage (transforms.py:865 Albu);
         # raises at construction if the package is missing
         self.albu = None
@@ -188,9 +190,21 @@ class TrainPipeline:
             if pointobbs is not None and len(pointobbs):
                 pointobbs = NR.pointobb_flip(pointobbs, (h, w))
 
-        img = normalize_image(img, self.mean, self.std, self.to_rgb)
-        padded = np.zeros((size, size, img.shape[-1]), np.float32)
-        padded[:h, :w] = img
+        if self.device_normalize:
+            # ship raw uint8 BGR; (x - mean)/std (+ channel flip) runs
+            # inside the jitted step (models/preprocess.py) — 4x less
+            # host->device traffic than normalized float32.  Pad with
+            # the rounded mean pixel so the pad region normalizes to
+            # ~0, matching the host path's normalize-then-zero-pad.
+            pad_val = np.round(self.mean[::-1] if self.to_rgb
+                               else self.mean).astype(np.uint8)
+            padded = np.broadcast_to(
+                pad_val, (size, size, img.shape[-1])).copy()
+            padded[:h, :w] = img
+        else:
+            img = normalize_image(img, self.mean, self.std, self.to_rgb)
+            padded = np.zeros((size, size, img.shape[-1]), np.float32)
+            padded[:h, :w] = img
 
         g = self.max_gt
         n = min(len(boxes), g)
@@ -275,17 +289,27 @@ class TestPipeline:
 
     def __init__(self, img_size: int = 1024,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                 to_rgb: bool = True):
+                 to_rgb: bool = True, device_normalize: bool = False):
         self.img_size = img_size
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_rgb = to_rgb
+        self.device_normalize = device_normalize
 
     def __call__(self, img):
         size = self.img_size
         img, scale = resize_keep_ratio(img, size)
         h, w = img.shape[:2]
-        if img.dtype == np.uint8 and img.shape[-1] == 3:
+        if (self.device_normalize and img.dtype == np.uint8
+                and img.shape[-1] == 3):
+            # raw uint8 out; normalization folds into the jitted
+            # predict (models/preprocess.py) — 4x less transfer.
+            # Mean-pixel padding normalizes to ~0 (host-path parity).
+            pad_val = np.round(self.mean[::-1] if self.to_rgb
+                               else self.mean).astype(np.uint8)
+            padded = np.broadcast_to(pad_val, (size, size, 3)).copy()
+            padded[:h, :w] = img
+        elif img.dtype == np.uint8 and img.shape[-1] == 3:
             # fused native BGR→RGB + normalise + pad (single pass)
             from ..native import normalize_pad
             padded = normalize_pad(img, (size, size), self.mean,

@@ -69,6 +69,8 @@ class CascadeRCNN(nn.Module):
     strides: Sequence[int] = (4, 8, 16, 32, 64)
     anchor_scales: Sequence[int] = (8,)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    # on-device normalization for uint8 inputs (models/preprocess.py)
+    img_norm: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -109,6 +111,8 @@ class CascadeRCNN(nn.Module):
         self._reg_loss = SmoothL1Loss(beta=1.0)
 
     def extract_feat(self, imgs):
+        from ..preprocess import device_normalize
+        imgs = device_normalize(imgs, self.img_norm, self.dtype)
         return self._neck(self._backbone(imgs))
 
     def _roi_features(self, feats, rois_b, out_size):

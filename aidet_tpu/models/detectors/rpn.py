@@ -39,6 +39,8 @@ class RPN(nn.Module):
     # GA-RPN knobs (ga_rpn_head.py; used when rpn_head is a GARPNHead)
     ga_target_stds: Sequence[float] = (0.07, 0.07, 0.14, 0.14)
     ga_loc_filter_thr: float = 0.01
+    # on-device normalization for uint8 inputs (models/preprocess.py)
+    img_norm: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -82,8 +84,14 @@ class RPN(nn.Module):
         self._cls_loss = CrossEntropyLoss(use_sigmoid=True)
         self._bbox_loss = SmoothL1Loss(beta=1.0 / 9.0)
 
+
+    def extract_feat(self, imgs):
+        from ..preprocess import device_normalize
+        imgs = device_normalize(imgs, self.img_norm, self.dtype)
+        return self._neck(self._backbone(imgs))
+
     def __call__(self, imgs):
-        feats = self._neck(self._backbone(imgs))
+        feats = self.extract_feat(imgs)
         return self._rpn(feats)
 
     def _ga_outputs(self, feats, masked=False):
@@ -165,7 +173,7 @@ class RPN(nn.Module):
     def loss(self, imgs, gt_boxes, gt_valid, img_shapes):
         key = self.make_rng("sampling")
         if self._ga:
-            feats = self._neck(self._backbone(imgs))
+            feats = self.extract_feat(imgs)
             return self._ga_loss(feats, gt_boxes, gt_valid,
                                  img_shapes, key)
         cls_out, reg_out = self(imgs)
@@ -189,7 +197,7 @@ class RPN(nn.Module):
 
     def predict(self, imgs, img_shapes):
         if self._ga:
-            feats = self._neck(self._backbone(imgs))
+            feats = self.extract_feat(imgs)
             (cls_flat, reg_flat, anchors, loc_keep,
              _sh, _lo) = self._ga_outputs(feats, masked=True)
             cls_props = jnp.where(loc_keep[..., None], cls_flat, -1e4)

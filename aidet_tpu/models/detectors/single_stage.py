@@ -53,6 +53,8 @@ class SingleStageDetector(nn.Module):
     with_rbox: bool = False
     rbox_encode: str = "thetaobb"
     rnms_thr: float = 0.1
+    # on-device normalization for uint8 inputs (models/preprocess.py)
+    img_norm: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -106,6 +108,8 @@ class SingleStageDetector(nn.Module):
             self._rbox_dim = dim
 
     def extract_feat(self, imgs):
+        from ..preprocess import device_normalize
+        imgs = device_normalize(imgs, self.img_norm, self.dtype)
         x = self._backbone(imgs)
         if isinstance(self._neck, (list, tuple)):
             for n in self._neck:   # stacked necks (e.g. FPN → BFP,

@@ -117,6 +117,10 @@ class TwoStageDetector(nn.Module):
     # the XLA gather formulation elsewhere (CPU tests, interpret-less
     # platforms)
     roi_align_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # on-device normalization constants for uint8 inputs (pipelines
+    # with device_normalize=True ship raw pixels; see
+    # models/preprocess.py). None = ImageNet defaults.
+    img_norm: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -197,6 +201,8 @@ class TwoStageDetector(nn.Module):
 
     # ------------------------------------------------------------------
     def extract_feat(self, imgs):
+        from ..preprocess import device_normalize
+        imgs = device_normalize(imgs, self.img_norm, self.dtype)
         x = self._backbone(imgs)
         if isinstance(self._neck, (list, tuple)):
             for n in self._neck:   # stacked necks (e.g. FPN → BFP)

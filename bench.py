@@ -1,21 +1,30 @@
-"""End-to-end inference throughput benchmark.
+"""End-to-end flagship benchmark: inference throughput + train step.
 
-Measures 1024x1024 DOTA-patch inference (RBBoxRCNN R50-FPN, bf16,
-full post-processing: RPN + RoI heads + rotated decode + NMS) on the
-available accelerator and prints ONE JSON line.
-
-Baseline: BASELINE.json targets >=1000 patches/s on a v5e-8 (8 chips),
-i.e. 125 patches/s/chip; vs_baseline is measured against the per-chip
-share.
+Measures (a) 1024x1024 DOTA-patch inference (RBBoxRCNN R50-FPN, bf16,
+full post-processing: RPN + RoI heads + rotated decode + NMS) and
+(b) the full training step (loss + grads + SGD update, batch 8, 64 gt)
+on the available accelerator, and prints ONE JSON line.  The primary
+metric stays inference throughput (BASELINE.json: >=1000 patches/s on
+a v5e-8 = 125 patches/s/chip); the train numbers ride along as extra
+keys (train_imgs_per_sec_chip / train_step_ms).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
+# persistent compile cache: the flagship train step is a ~10-min cold
+# remote compile; cache it across bench invocations / rounds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
-def main():
+
+def measure_inference():
     import jax
     import jax.numpy as jnp
 
@@ -42,27 +51,97 @@ def main():
         return acc
 
     fn = jax.jit(_step)
-    import jax.numpy as jnp2
-    acc = jnp2.float32(0)
+    acc = jnp.float32(0)
     acc = fn(variables, imgs, shapes, acc)      # compile + warm
     float(acc)
 
     n_iters = 20
-    acc = jnp2.float32(0)
+    acc = jnp.float32(0)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         acc = fn(variables, imgs, shapes, acc)  # chained on-device
     float(acc)                                  # one sync at the end
     dt = time.perf_counter() - t0
+    return n_iters * batch / dt
 
-    patches_per_sec = n_iters * batch / dt
-    per_chip_target = 1000.0 / 8.0
-    print(json.dumps({
+
+def measure_train(batch: int = 8, img_size: int = 1024, max_gt: int = 64,
+                  n_iters: int = 8):
+    """Full flagship train-step rate (fwd + bwd + SGD), one chip.
+
+    Steps chain on-device through the donated TrainState; one sync at
+    the end (same tunnel-amortizing scheme as inference).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_flagship
+    from aidet_tpu.parallel import (build_lr_schedule, build_optimizer,
+                                    create_train_state, make_train_step)
+
+    model = _build_flagship(img_size)
+    # flagship train hyperparams (configs/dota_theta_obb_r50_fpn_1x.py).
+    # roi_align_impl auto = pallas on chip, XLA off-chip (lets the
+    # same path smoke-test on CPU where Pallas can't compile)
+    model = model.clone(roi_align_impl="auto", train_cfg=dict(
+        rpn=dict(pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+                 num_samples=256, pos_fraction=0.5, allowed_border=0),
+        rpn_proposal=dict(nms_pre=2000, nms_post=2000, max_num=2000,
+                          nms_thr=0.7),
+        rcnn=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
+                  num_samples=512, pos_fraction=0.25)))
+
+    rs = np.random.RandomState(0)
+    xy = rs.uniform(32, img_size - 200, (batch, max_gt, 2))
+    wh = rs.uniform(16, 160, (batch, max_gt, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    theta = rs.uniform(-1.5, -0.01, (batch, max_gt, 1)).astype(np.float32)
+    rboxes = np.concatenate([xy + wh / 2, wh, theta],
+                            -1).astype(np.float32)
+    train_batch = dict(
+        imgs=rs.randn(batch, img_size, img_size, 3).astype(np.float32),
+        gt_boxes=boxes,
+        gt_rboxes=rboxes,
+        gt_valid=np.ones((batch, max_gt), bool),
+        gt_labels=rs.randint(1, 16, (batch, max_gt)).astype(np.int32),
+        img_shapes=np.tile([[img_size, img_size]],
+                           (batch, 1)).astype(np.float32))
+    train_batch = {k: jnp.asarray(v) for k, v in train_batch.items()}
+
+    optimizer = build_optimizer(build_lr_schedule(base_lr=0.02))
+    state = create_train_state(
+        model, optimizer,
+        np.zeros((1, img_size, img_size, 3), np.float32),
+        jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer)
+    rng = jax.random.PRNGKey(1)
+
+    state, metrics = step(state, train_batch, rng)   # compile + warm
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, train_batch, rng)
+    float(metrics["loss"])                           # one sync
+    dt = time.perf_counter() - t0
+    return n_iters * batch / dt, dt / n_iters * 1e3
+
+
+def main():
+    patches_per_sec = measure_inference()
+    out = {
         "metric": "dota_1024_patch_inference_throughput",
         "value": round(patches_per_sec, 2),
         "unit": "patches/sec/chip",
-        "vs_baseline": round(patches_per_sec / per_chip_target, 3),
-    }))
+        "vs_baseline": round(patches_per_sec / (1000.0 / 8.0), 3),
+    }
+    # A/B perf sessions iterate on inference flags; skip the train
+    # step's extra compile there (AIDET_BENCH_SKIP_TRAIN=1)
+    if os.environ.get("AIDET_BENCH_SKIP_TRAIN", "0") != "1":
+        train_ips, train_ms = measure_train()
+        out["train_imgs_per_sec_chip"] = round(train_ips, 2)
+        out["train_step_ms"] = round(train_ms, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

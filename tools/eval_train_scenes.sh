@@ -14,14 +14,14 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.5
 export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
-GT=data/dota_e2e/train_patches_scene_gt_obb.json
+GT=${GT:-data/dota_e2e_xl/train_patches_scene_gt_obb.json}
 TSC=/tmp/ts_cfgs
 mkdir -p "$TSC"
 
 CFGS=${*:-dota_theta_obb_r18_e2e dota_h_obb_r18_e2e \
   dota_h_obb_robust_r18_e2e dota_point_obb_r18_e2e \
   dota_rroi_point_obb_r18_e2e dota_retinanet_theta_obb_r18_e2e \
-  dota_centermap_net_r18_e2e}
+  dota_centermap_net_r18_e2e dota_mask_obb_r18_e2e}
 
 for name in $CFGS; do
   ckpt="work_dirs/$name/ckpt"
@@ -36,8 +36,8 @@ for name in $CFGS; do
   rm -rf "$wd/ckpt" && cp -r "$ckpt" "$wd/ckpt"
   cat > "$TSC/$name.py" <<EOF
 _base_ = "/root/repo/configs/$name.py"
-data = dict(test=dict(ann_file="data/dota_e2e/train_patches.json",
-                      img_prefix="data/dota_e2e/train_patches"))
+data = dict(test=dict(ann_file="data/dota_e2e_xl/train_patches.json",
+                      img_prefix="data/dota_e2e_xl/train_patches"))
 EOF
   timeout 2400 python tools/dota_workflow.py "$TSC/$name.py" \
     --work-dir "$wd" --stages test eval --gt-json "$GT" \

@@ -4,7 +4,7 @@
 # time so chip timing work can interleave between runs.
 set -u
 cd "$(dirname "$0")/.."
-GT=${GT:-data/dota_e2e/val_patches_scene_gt_obb.json}
+GT=${GT:-data/dota_e2e_xl/val_patches_scene_gt_obb.json}
 # persistent compile cache: re-runs of a config skip the ~25 min
 # remote train-step compile
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}

@@ -59,6 +59,18 @@ def main():
     model_cfg = apply_fp16_cfg(cfg, dict(cfg.model))
     if cfg.get("fp16"):
         logger.info("fp16 config -> bf16 compute dtype")
+    # ship raw uint8 pixels and normalize inside the jitted step by
+    # default (4x less host->device traffic; models/preprocess.py);
+    # custom pipeline constants propagate to the model's img_norm
+    pipe_cfg = dict(cfg.get("train_pipeline", {}))
+    pipe_cfg.setdefault("device_normalize", True)
+    if pipe_cfg["device_normalize"] and any(
+            k in pipe_cfg for k in ("mean", "std", "to_rgb")):
+        from aidet_tpu.models.preprocess import DEFAULT_MEAN, DEFAULT_STD
+        model_cfg.setdefault("img_norm", dict(
+            mean=list(pipe_cfg.get("mean", DEFAULT_MEAN)),
+            std=list(pipe_cfg.get("std", DEFAULT_STD)),
+            to_rgb=pipe_cfg.get("to_rgb", True)))
     model = build_detector(model_cfg, train_cfg=cfg.get("train_cfg"),
                            test_cfg=cfg.get("test_cfg"))
     dataset = build_dataset(cfg.data["train"])
@@ -109,7 +121,6 @@ def main():
         run_cfg["optimizer"] = opt
         logger.info("autoscale-lr: %d devices -> lr %.5f", n_dev,
                     opt["lr"])
-    pipe_cfg = dict(cfg.get("train_pipeline", {}))
     pipe_cfg.setdefault("img_size", getattr(model, "img_size", 1024))
     run_cfg["pipeline"] = TrainPipeline(**pipe_cfg)
 
