@@ -31,7 +31,8 @@ def set_random_seed(seed: int):
 def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
                    eval_hook=None, logger=None,
                    resume_from: str | None = None,
-                   load_from: str | None = None):
+                   load_from: str | None = None,
+                   precompile_only: bool = False):
     """Train a detector.
 
     Args:
@@ -114,6 +115,28 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
 
     img_size = cfg["pipeline"].img_size
     sample = np.zeros((1, img_size, img_size, 3), np.float32)
+    if precompile_only:
+        # Populate the persistent compile cache for the EXACT train
+        # step this function would run (same schedule constants, mesh,
+        # shardings, donation, batch spec), without touching the
+        # accelerator: eval_shape for the state, abstract lowering for
+        # the step.  Lets a later real run start warm while the chip
+        # is busy with something else (remote axon compiles are
+        # server-side; local cost is negligible).
+        state_shapes = jax.eval_shape(
+            lambda s, r: create_train_state(model, optimizer, s, r),
+            sample, rng)
+        step_fn = make_train_step(model, optimizer, mesh=mesh)
+        batch = next(iter(loader))
+        batch_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            batch)
+        rng_shape = jax.ShapeDtypeStruct(np.shape(rng),
+                                         np.asarray(rng).dtype)
+        t0 = time.time()
+        step_fn.lower(state_shapes, batch_shapes, rng_shape).compile()
+        logger.info("precompiled train step in %.1fs", time.time() - t0)
+        return None
     state = create_train_state(model, optimizer, sample, rng)
     start_epoch = 0
     if resume_from:

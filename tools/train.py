@@ -19,6 +19,10 @@ def parse_args():
     p.add_argument("--total-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--precompile", action="store_true",
+                   help="lower+compile the exact train step into the "
+                        "persistent cache (no accelerator steps), then "
+                        "exit — warms a later real run")
     p.add_argument("--autoscale-lr", action="store_true",
                    help="linearly scale lr with device count "
                         "(parity: reference tools/train.py:81-83, "
@@ -126,7 +130,8 @@ def main():
 
     train_detector(model, dataset, run_cfg, work_dir=work_dir,
                    logger=logger, resume_from=args.resume_from,
-                   load_from=args.load_from)
+                   load_from=args.load_from,
+                   precompile_only=args.precompile)
 
 
 if __name__ == "__main__":
