@@ -169,11 +169,40 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
 
     step_rng = jax.random.fold_in(rng, 1)
     global_step = start_epoch * iters_per_epoch
+
+    def to_device_prefetched(it, depth: int = 2):
+        # double-buffered host→device transfer: device_put through a
+        # remote tunnel blocks (~226 ms/batch f32, ~57 ms uint8), so
+        # overlap batch N+1's transfer with step N's execution —
+        # pipeline rate becomes max(step, transfer) instead of the sum
+        import queue
+        import threading
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        err: list = []
+
+        def worker():
+            try:
+                for item in it:
+                    q.put(local_batch_to_global(item, mesh))
+            except BaseException as e:  # surfaced on the main thread
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
-        for i, batch in enumerate(loader):
-            batch = local_batch_to_global(batch, mesh)
+        for i, batch in enumerate(to_device_prefetched(iter(loader))):
             state, metrics = step_fn(state, batch, step_rng)
             global_step += 1
             if global_step % log_interval == 0:

@@ -33,10 +33,14 @@ def measure_inference():
     img_size = 1024
     batch = 16
     model = _build_flagship(img_size)
-    imgs = jnp.zeros((batch, img_size, img_size, 3), jnp.float32)
+    # raw uint8 input — the real serving path (device-side
+    # normalization, models/preprocess.py) is part of the bill
+    imgs = jnp.zeros((batch, img_size, img_size, 3), jnp.uint8)
     shapes = jnp.tile(jnp.asarray([[img_size, img_size]], jnp.float32),
                       (batch, 1))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, img_size, img_size, 3), jnp.float32))
 
     # thread a device-side accumulator through the calls: the N
     # dispatches chain on-device and only the final float() pays one
@@ -44,7 +48,10 @@ def measure_inference():
     # synchronize through remote-device tunnels, and a per-iteration
     # sync would bill the tunnel RTT to every batch)
     def _step(v, im, sh, acc):
-        out = model.apply(v, im + acc * 0e-9, sh, method="predict")
+        # chain through img_shapes (a float input): adding to the
+        # uint8 imgs would silently promote them to f32 and skip the
+        # on-device normalize path being measured
+        out = model.apply(v, im, sh + acc * 0e-9, method="predict")
         acc = acc + out["scores"].sum() + out["boxes"].sum()
         if "rboxes" in out:
             acc = acc + out["rboxes"].sum()
@@ -63,6 +70,53 @@ def measure_inference():
     float(acc)                                  # one sync at the end
     dt = time.perf_counter() - t0
     return n_iters * batch / dt
+
+
+def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
+                      patch: int = 1024, overlap: int = 200):
+    """Full serving path per scene: host tiling → uint8 transfer →
+    jitted predict (incl. on-device normalize) → host lift + global
+    per-class rotated NMS merge (data/tiling.py, the wwtool
+    mergebypoly replacement).  Returns patches/sec including all host
+    work — the honest line-rate number for the BASELINE north star."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_flagship
+    from aidet_tpu.core.rboxes import thetaobb2pointobb
+    from aidet_tpu.data.tiling import merge_patch_detections, tile_image
+
+    model = _build_flagship(patch)
+    # auto = pallas on chip, XLA off-chip (CPU smoke-testability)
+    model = model.clone(roi_align_impl="auto")
+    rs = np.random.RandomState(0)
+    scene_img = rs.randint(0, 256, (scene, scene, 3), np.uint8)
+    patches, offs = tile_image(scene_img, patch, overlap)
+    n = len(patches)
+    shapes = jnp.tile(jnp.asarray([[patch, patch]], jnp.float32), (n, 1))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, patch, patch, 3),
+                                         jnp.float32))
+    predict = jax.jit(lambda v, im, sh: model.apply(v, im, sh,
+                                                    method="predict"))
+
+    def one_scene():
+        p, offs_ = tile_image(scene_img, patch, overlap)   # host slice
+        out = jax.device_get(predict(variables, jnp.asarray(p), shapes))
+        quads = np.asarray(thetaobb2pointobb(jnp.asarray(out["rboxes"])))
+        dets = [dict(boxes=quads[i], scores=out["scores"][i],
+                     labels=out["labels"][i], valid=out["valid"][i])
+                for i in range(n)]
+        return merge_patch_detections(dets, offs_, num_classes=15,
+                                      box_type="quad")
+
+    one_scene()                                # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_scenes):
+        one_scene()
+    dt = time.perf_counter() - t0
+    return n_scenes * n / dt
 
 
 def measure_train(batch: int = 8, img_size: int = 1024, max_gt: int = 64,
@@ -135,9 +189,10 @@ def main():
         "unit": "patches/sec/chip",
         "vs_baseline": round(patches_per_sec / (1000.0 / 8.0), 3),
     }
-    # A/B perf sessions iterate on inference flags; skip the train
-    # step's extra compile there (AIDET_BENCH_SKIP_TRAIN=1)
+    # A/B perf sessions iterate on inference flags; skip the extra
+    # compiles there (AIDET_BENCH_SKIP_TRAIN=1)
     if os.environ.get("AIDET_BENCH_SKIP_TRAIN", "0") != "1":
+        out["scene_e2e_patches_per_sec"] = round(measure_scene_e2e(), 2)
         train_ips, train_ms = measure_train()
         out["train_imgs_per_sec_chip"] = round(train_ips, 2)
         out["train_step_ms"] = round(train_ms, 1)
