@@ -248,7 +248,7 @@ class TrainPipeline:
                 else:
                     masks[:n] = rasterize_polygons(
                         pointobbs[:n], (self.img_size, self.img_size), ms)
-            sample["gt_masks"] = masks
+            sample["gt_masks"] = self._quantize(masks)
 
         if self.with_mask_weight or self.with_reverse_mask_weight:
             from .centermap import pointobbs2centermap
@@ -261,7 +261,7 @@ class TrainPipeline:
                     (self.img_size, self.img_size), mask_size=ms,
                     factor=self.centermap_factor, kind=kind,
                     template_size=self.centermap_template)
-            sample["gt_mask_weights"] = weights
+            sample["gt_mask_weights"] = self._quantize(weights)
 
         if self.with_semantic or self.with_heatmap_weight:
             from .centermap import heatmap_weight, pseudo_segmentation
@@ -280,8 +280,18 @@ class TrainPipeline:
                     factor=self.centermap_factor)
                 if self.reverse_heatmap_weight:
                     hw_map = 1.0 - hw_map
-                sample["gt_seg_weights"] = hw_map
+                sample["gt_seg_weights"] = self._quantize(hw_map)
         return sample
+
+    def _quantize(self, arr):
+        """uint8-quantize [0,1] mask-type targets for transfer when the
+        device normalizes anyway (4x less host->device traffic; the
+        reference stores centermaps as uint8 images too —
+        loading.py:110-127 — so /255 quantization is its native
+        precision). Dequantized in the jitted loss."""
+        if not self.device_normalize:
+            return arr
+        return np.round(arr * 255.0).astype(np.uint8)
 
 
 class TestPipeline:

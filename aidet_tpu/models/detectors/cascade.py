@@ -233,6 +233,10 @@ class CascadeRCNN(nn.Module):
 
     def loss(self, imgs, gt_boxes, gt_valid, gt_labels, img_shapes,
              gt_masks=None, gt_semantic=None):
+        # mask targets may arrive uint8-quantized (pipeline transfer
+        # path; see TwoStageDetector.loss)
+        if gt_masks is not None and gt_masks.dtype == jnp.uint8:
+            gt_masks = gt_masks.astype(jnp.float32) / 255.0
         tc = self._tc
         feats = self.extract_feat(imgs)
         rpn_cls, rpn_reg = self._rpn(feats)

@@ -370,7 +370,17 @@ class TwoStageDetector(nn.Module):
           gt_masks [B, G, Hm, Wm] (mask branch — binary for BCE,
           soft centermaps for the CenterMap loss);
           gt_mask_weights [B, G, Hm, Wm] optional per-pixel weights.
+
+        Mask-type targets may arrive uint8-quantized (pipeline
+        device_normalize transfer path; /255 is also the reference's
+        native centermap precision, loading.py:110-127).
         """
+        def _dq(x):
+            return (x.astype(jnp.float32) / 255.0
+                    if x is not None and x.dtype == jnp.uint8 else x)
+        gt_masks = _dq(gt_masks)
+        gt_mask_weights = _dq(gt_mask_weights)
+        gt_seg_weights = _dq(gt_seg_weights)
         tc = self._tc
         feats = self.extract_feat(imgs)
         (cls_flat, reg_flat, rpn_anchors, rpn_stds, rpn_lvl_sizes,

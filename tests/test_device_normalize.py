@@ -84,6 +84,30 @@ def test_train_pipeline_uint8_output_and_loss_equivalence():
                                     atol=1e-5)
 
 
+def test_mask_targets_uint8_quantization():
+    rs = np.random.RandomState(4)
+    img = rs.randint(0, 256, (64, 64, 3), np.uint8)
+    anns = dict(bboxes=np.array([[8., 8., 40., 40.]], np.float32),
+                labels=np.array([1], np.int32),
+                pointobbs=np.array([[8, 8, 40, 8, 40, 40, 8, 40]],
+                                   np.float32))
+    kw = dict(img_size=64, max_gt=4, flip_ratio=0.0, with_mask=True,
+              mask_size=32, mask_type="centermap", seed=5)
+    s_q = TrainPipeline(device_normalize=True, **kw)(img, dict(anns))
+    s_f = TrainPipeline(device_normalize=False, **kw)(img, dict(anns))
+    assert s_q["gt_masks"].dtype == np.uint8
+    assert s_f["gt_masks"].dtype == np.float32
+    # /255 quantization (the reference's own uint8 centermap storage)
+    np.testing.assert_allclose(s_q["gt_masks"].astype(np.float32) / 255,
+                               s_f["gt_masks"], atol=1 / 254)
+    # binary masks quantize exactly
+    kw["mask_type"] = "binary"
+    b_q = TrainPipeline(device_normalize=True, **kw)(img, dict(anns))
+    b_f = TrainPipeline(device_normalize=False, **kw)(img, dict(anns))
+    np.testing.assert_array_equal(
+        b_q["gt_masks"].astype(np.float32) / 255, b_f["gt_masks"])
+
+
 def test_test_pipeline_device_normalize():
     rs = np.random.RandomState(2)
     img = rs.randint(0, 256, (40, 64, 3), np.uint8)
