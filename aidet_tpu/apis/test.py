@@ -18,7 +18,8 @@ from ..data.pipeline import TestPipeline
 def run_inference(model, variables, dataset, batch_size: int = 8,
                   img_size: int | None = None, progress=None,
                   mesh=None, num_shards: int = 1, shard_id: int = 0,
-                  pipeline_cfg: dict | None = None):
+                  pipeline_cfg: dict | None = None,
+                  precompile_only: bool = False):
     """Run the jitted predict path over a dataset.
 
     Multi-chip/multi-host (parity: multi_gpu_test + collect_results,
@@ -61,6 +62,20 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
     else:
         predict = jax.jit(functools.partial(model.apply,
                                             method="predict"))
+
+    if precompile_only:
+        # lower+compile the exact predict program into the persistent
+        # cache (no accelerator batches) so a queued test run starts
+        # warm; see tools/train.py --precompile for the train analog
+        s = pipe.img_size
+        img_dt = np.uint8 if pipe.device_normalize else np.float32
+        lowered = predict.lower(
+            variables,
+            jax.ShapeDtypeStruct((batch_size, s, s, 3), img_dt),
+            jax.ShapeDtypeStruct((batch_size, 2), np.float32),
+            jax.ShapeDtypeStruct((batch_size,), np.float32))
+        lowered.compile()
+        return [], []
 
     import cv2
     from concurrent.futures import ThreadPoolExecutor

@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("--submit-dir", default=None,
                    help="write DOTA submission txt files here")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--precompile", action="store_true",
+                   help="lower+compile the exact predict program into "
+                        "the persistent cache, then exit (no "
+                        "checkpoint needed)")
     p.add_argument("--tta", action="store_true",
                    help="multi-scale/flip TTA per image, driven by the "
                         "config's tta = dict(scales=..., flip=...) "
@@ -51,7 +55,8 @@ def main():
     from aidet_tpu.utils.logging import get_root_logger
 
     logger = get_root_logger()
-    model, variables, cfg = init_detector(args.config, args.checkpoint)
+    model, variables, cfg = init_detector(
+        args.config, None if args.precompile else args.checkpoint)
     dataset = build_dataset(cfg.data["test"])
     import jax
     mesh = None
@@ -101,6 +106,13 @@ def main():
                          quad_labels=m["quad_labels"])
             results.append(r)
             names.append(dataset.img_infos[i]["file_name"])
+    elif args.precompile:
+        run_inference(model, variables, dataset,
+                      batch_size=args.batch_size, mesh=mesh,
+                      pipeline_cfg=cfg.get("test_pipeline"),
+                      precompile_only=True)
+        logger.info("precompiled predict program")
+        return
     else:
         # one shard per host process (parity: mmdet/apis/test.py:31-73)
         results, names = run_inference(
