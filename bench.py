@@ -190,12 +190,34 @@ def main():
         "vs_baseline": round(patches_per_sec / (1000.0 / 8.0), 3),
     }
     # A/B perf sessions iterate on inference flags; skip the extra
-    # compiles there (AIDET_BENCH_SKIP_TRAIN=1)
+    # compiles there (AIDET_BENCH_SKIP_TRAIN=1).  The extras must
+    # never take the primary metric down with them (e.g. a cold
+    # train-step compile outliving the driver's patience) — guard.
     if os.environ.get("AIDET_BENCH_SKIP_TRAIN", "0") != "1":
-        out["scene_e2e_patches_per_sec"] = round(measure_scene_e2e(), 2)
-        train_ips, train_ms = measure_train()
-        out["train_imgs_per_sec_chip"] = round(train_ips, 2)
-        out["train_step_ms"] = round(train_ms, 1)
+        import signal
+
+        def _budget(seconds):
+            def handler(signum, frame):
+                raise TimeoutError(f"bench extra exceeded {seconds}s")
+            signal.signal(signal.SIGALRM, handler)
+            signal.alarm(seconds)
+
+        try:
+            _budget(int(os.environ.get("AIDET_BENCH_EXTRA_BUDGET",
+                                       "1500")))
+            out["scene_e2e_patches_per_sec"] = round(
+                measure_scene_e2e(), 2)
+        except Exception as e:   # pragma: no cover
+            out["scene_e2e_error"] = repr(e)[:120]
+        try:
+            _budget(int(os.environ.get("AIDET_BENCH_EXTRA_BUDGET",
+                                       "2400")))
+            train_ips, train_ms = measure_train()
+            out["train_imgs_per_sec_chip"] = round(train_ips, 2)
+            out["train_step_ms"] = round(train_ms, 1)
+        except Exception as e:   # pragma: no cover
+            out["train_error"] = repr(e)[:120]
+        signal.alarm(0)
     print(json.dumps(out))
 
 
