@@ -31,7 +31,9 @@ def measure_inference():
     from __graft_entry__ import _build_flagship
 
     img_size = 1024
-    batch = 16
+    # batch 16 default; larger batches amortize fixed per-dispatch and
+    # post-processing costs (A/B via env in the perf session)
+    batch = int(os.environ.get("AIDET_BENCH_BATCH", "16"))
     model = _build_flagship(img_size)
     # raw uint8 input — the real serving path (device-side
     # normalization, models/preprocess.py) is part of the bill
