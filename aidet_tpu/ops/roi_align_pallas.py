@@ -380,12 +380,16 @@ def _fwd(feats, rois_b, out_size, featmap_strides, sampling_ratio,
 def _bwd(out_size, featmap_strides, sampling_ratio, finest_scale,
          aligned, res, g):
     feats, rois_b = res
-    # gradient through the (differentiable-equivalent) XLA formulation
-    out_xla, vjp = jax.vjp(
-        lambda f: batched_multilevel_roi_align(
-            f, rois_b, out_size, featmap_strides, sampling_ratio,
-            finest_scale, aligned), feats)
-    (dfeats,) = vjp(g.astype(out_xla.dtype))
+    # RoIAlign is linear in feats (the bilinear weights depend only on
+    # rois), so the cotangent is a pure transpose: linear_transpose
+    # evaluates ONLY the transposed scatter — unlike jax.vjp, which
+    # would re-execute the slow XLA gather forward inside the backward
+    # pass just to discard its primal output.
+    f = lambda fs: batched_multilevel_roi_align(
+        fs, rois_b, out_size, featmap_strides, sampling_ratio,
+        finest_scale, aligned)
+    (dfeats,) = jax.linear_transpose(f, feats)(
+        g.astype(jax.eval_shape(f, feats).dtype))
     return dfeats, jnp.zeros_like(rois_b)
 
 

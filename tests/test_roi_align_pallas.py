@@ -190,3 +190,30 @@ def test_big_image_falls_back_to_xla(monkeypatch):
     rois2 = jnp.asarray([[[8.0, 8.0, 2000.0, 2000.0]]])
     out_x = rabx.roi_align_bandx(feats2, rois2, 7)
     assert float(np.asarray(out_x, np.float32).min()) > 0.9
+
+
+def test_pallas_backward_matches_xla_grad(interpret_pallas):
+    """The linear_transpose backward must equal the XLA formulation's
+    own gradient (RoIAlign is linear in feats, so the transpose IS the
+    gradient — no primal re-execution needed)."""
+    rng = np.random.RandomState(2)
+    b, r, c = 2, 8, 8
+    feats = [jnp.asarray(rng.randn(b, 128 // s, 128 // s, c)
+                         .astype(np.float32)) for s in (4, 8, 16, 32)]
+    xy = rng.uniform(0, 60, (b, r, 2))
+    wh = rng.uniform(8, 60, (b, r, 2))
+    rois = jnp.asarray(np.concatenate(
+        [xy, np.minimum(xy + wh, 127)], -1).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, c).astype(np.float32))
+
+    def loss_pallas(fs):
+        return jnp.sum(rap.roi_align_pallas(fs, rois, 7) * w)
+
+    def loss_xla(fs):
+        return jnp.sum(batched_multilevel_roi_align(fs, rois, 7) * w)
+
+    g_p = jax.grad(loss_pallas)(feats)
+    g_x = jax.grad(loss_xla)(feats)
+    for a, e in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-5)
