@@ -108,9 +108,23 @@ def run_inference(model, variables, dataset, batch_size: int = 8,
                 samples.append(samples[-1])
             batch = {k: np.stack([s[k] for s in samples])
                      for k in samples[0]}
-            out = predict(variables, batch["imgs"], batch["img_shapes"],
-                          batch["scale_factors"])
-            out = jax.device_get(out)
+            for attempt in range(3):
+                try:
+                    out = predict(variables, batch["imgs"],
+                                  batch["img_shapes"],
+                                  batch["scale_factors"])
+                    out = jax.device_get(out)
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    # transient remote-compile / tunnel drops; predict
+                    # does not donate, so a plain retry is safe
+                    msg = str(e)
+                    if attempt == 2 or not any(s in msg for s in (
+                            "remote_compile", "read body", "UNAVAILABLE",
+                            "DEADLINE_EXCEEDED", "connection reset")):
+                        raise
+                    import time as _time
+                    _time.sleep(20 * (attempt + 1))
             for j, i in enumerate(idxs):
                 results.append({k: v[j] for k, v in out.items()})
                 names.append(dataset.img_infos[i]["file_name"])

@@ -199,11 +199,32 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
                 return
             yield item
 
+    def step_with_retry(state, batch, step_rng, retries: int = 3):
+        # The remote-compile tunnel occasionally drops a response
+        # mid-flight; a failure during *compilation* leaves the donated
+        # state buffers unconsumed, so the call is safe to repeat. A
+        # failure after execution consumed them surfaces as a deleted-
+        # buffer error on the retry and is re-raised unchanged.
+        for attempt in range(retries):
+            try:
+                return step_fn(state, batch, step_rng)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                transient = any(s in msg for s in (
+                    "remote_compile", "read body", "UNAVAILABLE",
+                    "DEADLINE_EXCEEDED", "connection reset"))
+                if not transient or attempt == retries - 1:
+                    raise
+                logger.warning("transient runtime error, retry %d/%d:"
+                               " %s", attempt + 1, retries - 1,
+                               msg.splitlines()[0][:200])
+                time.sleep(20 * (attempt + 1))
+
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         for i, batch in enumerate(to_device_prefetched(iter(loader))):
-            state, metrics = step_fn(state, batch, step_rng)
+            state, metrics = step_with_retry(state, batch, step_rng)
             global_step += 1
             if global_step % log_interval == 0:
                 m = {k: float(v) for k, v in

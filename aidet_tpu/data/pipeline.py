@@ -219,18 +219,24 @@ class TrainPipeline:
                       gt_valid=out_valid,
                       img_shapes=np.asarray([h, w], np.float32))
 
-        if self.with_rbox and pointobbs is not None:
-            p = _np_best_point_sort(pointobbs[:n]) if n else \
+        if self.with_rbox:
+            # pointobbs can be absent entirely on patches whose every
+            # annotation fell in the ignore set (prepare_dota keeps
+            # them when bboxes_ignore is non-empty) — still emit the
+            # zero rbox slot or collate_batch KeyErrors on the mixed
+            # batch
+            nr = n if (pointobbs is not None and len(pointobbs)) else 0
+            p = _np_best_point_sort(pointobbs[:nr]) if nr else \
                 np.zeros((0, 8), np.float32)
             d = {"thetaobb": 5, "pointobb": 8, "hobb": 5}[self.rbox_encode]
             out_r = np.zeros((g, d), np.float32)
-            if n:
+            if nr:
                 if self.rbox_encode == "pointobb":
-                    out_r[:n] = p
+                    out_r[:nr] = p
                 elif self.rbox_encode == "thetaobb":
-                    out_r[:n] = NR.pointobb2thetaobb(p)
+                    out_r[:nr] = NR.pointobb2thetaobb(p)
                 else:
-                    out_r[:n] = NR.pointobb2hobb(p)
+                    out_r[:nr] = NR.pointobb2hobb(p)
             sample["gt_rboxes"] = out_r
 
         if self.with_mask:

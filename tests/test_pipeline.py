@@ -95,6 +95,27 @@ def test_collate_batch():
     assert batch["imgs"].shape == (3, 64, 64, 3)
 
 
+def test_train_pipeline_ignore_only_patch_collates():
+    # A patch whose every annotation fell in the ignore set carries no
+    # 'pointobbs' key at all (prepare_dota keeps it when bboxes_ignore
+    # is non-empty); the rbox pipeline must still emit the zero
+    # gt_rboxes slot or collate_batch KeyErrors on a mixed batch.
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    pipe = TrainPipeline(img_size=128, max_gt=8, flip_ratio=0.0,
+                         with_rbox=True)
+    empty = dict(bboxes=np.zeros((0, 4), np.float32),
+                 labels=np.zeros((0,), np.int32),
+                 bboxes_ignore=np.asarray([[10, 10, 40, 40]], np.float32),
+                 segmentations=[])
+    s_empty = pipe(img, empty)
+    assert s_empty["gt_rboxes"].shape == (8, 5)
+    assert not s_empty["gt_valid"].any()
+    s_full = pipe(img, _fake_anns(img=128, seed=2))
+    batch = collate_batch([s_empty, s_full])
+    assert batch["gt_rboxes"].shape == (2, 8, 5)
+
+
 def test_centerness_template():
     t = generate_centerness_image(64)
     assert t.shape == (64, 64)
