@@ -37,6 +37,9 @@ def main():
                         "'auto' reads model.rbbox_encode from the "
                         "config (rbbox_refine_head models emit refined "
                         "thetaobb regardless of the first-stage encode)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="train-stage rng seed (run-to-run noise "
+                        "estimation: same config, second seed)")
     p.add_argument("--total-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--autoscale-lr", action="store_true",
@@ -59,6 +62,8 @@ def main():
 
     if "train" in args.stages:
         extra = []
+        if args.seed is not None:
+            extra += ["--seed", str(args.seed)]
         if args.total_epochs:
             extra += ["--total-epochs", str(args.total_epochs)]
         if args.batch_size:
