@@ -53,6 +53,11 @@ AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=$BAND AIDET_RPN_COMBINED=0 \
   timeout 1800 python bench.py >"$OUT/bench_rpnsplit.log" 2>&1
 tail -2 "$OUT/bench_rpnsplit.log"
 
+step "bench: stem-phase OFF control (winner roi, batch 16)"
+AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=$BAND AIDET_STEM_PHASE=0 \
+  timeout 1800 python bench.py >"$OUT/bench_stemoff.log" 2>&1
+tail -2 "$OUT/bench_stemoff.log"
+
 step "train-step profile (stages)"
 timeout 2700 python tools/profile_train.py --stages \
   >"$OUT/train_stages.log" 2>&1
