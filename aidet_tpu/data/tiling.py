@@ -60,9 +60,7 @@ def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
       offsets: [N, 2] patch origins (x, y).
     Returns dict(boxes, scores, labels) of scene-level detections.
     """
-    import jax.numpy as jnp
-
-    from ..ops.nms import nms as hbb_nms, rnms
+    from .np_rboxes import bbox_nms_np, quad_nms_np
 
     all_boxes, all_scores, all_labels = [], [], []
     for det, (ox, oy) in zip(dets_per_patch, offsets):
@@ -88,28 +86,20 @@ def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
     labels = np.concatenate(all_labels).astype(np.int32)
 
     keep_mask = np.zeros(len(boxes), bool)
-    neg = np.float32(-1e30)
     for c in range(num_classes):
         sel = np.nonzero((labels == c) & (scores > score_thr))[0]
         if len(sel) == 0:
             continue
         thr = iou_thr[c] if isinstance(iou_thr, dict) else iou_thr
-        # pad to the next power of two: per-(scene, class) candidate
-        # counts vary freely, and an unpadded call would recompile the
-        # NMS kernel for every distinct count (~5s each on CPU);
-        # bucketing caps recompiles at log2(max) shapes
-        n = len(sel)
-        nb = 1 << (n - 1).bit_length()
-        cb = np.zeros((nb, boxes.shape[1]), np.float32)
-        cb[:n] = boxes[sel]
-        cs = np.full(nb, neg, np.float32)
-        cs[:n] = scores[sel]
+        # host-native greedy NMS (np_rboxes twins of ops/nms): merge
+        # runs between device batches, and a jax dispatch here would
+        # go to the live backend — per-class network round-trips over
+        # a remote-device tunnel, serialized against in-flight work,
+        # plus a recompile per candidate-count bucket
         if box_type == "quad":
-            k = np.asarray(rnms(jnp.asarray(cb), jnp.asarray(cs),
-                                float(thr)))[:n]
+            k = quad_nms_np(boxes[sel], scores[sel], float(thr))
         else:
-            k = np.asarray(hbb_nms(jnp.asarray(cb), jnp.asarray(cs),
-                                   float(thr)))[:n]
+            k = bbox_nms_np(boxes[sel], scores[sel], float(thr))
         keep_mask[sel[k]] = True
 
     keep = np.nonzero(keep_mask)[0]

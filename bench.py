@@ -86,7 +86,7 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
     import numpy as np
 
     from __graft_entry__ import _build_flagship
-    from aidet_tpu.core.rboxes import thetaobb2pointobb
+    from aidet_tpu.data.np_rboxes import thetaobb2pointobb
     from aidet_tpu.data.tiling import merge_patch_detections, tile_image
 
     model = _build_flagship(patch)
@@ -106,7 +106,7 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
     def one_scene():
         p, offs_ = tile_image(scene_img, patch, overlap)   # host slice
         out = jax.device_get(predict(variables, jnp.asarray(p), shapes))
-        quads = np.asarray(thetaobb2pointobb(jnp.asarray(out["rboxes"])))
+        quads = thetaobb2pointobb(np.asarray(out["rboxes"]))
         dets = [dict(boxes=quads[i], scores=out["scores"][i],
                      labels=out["labels"][i], valid=out["valid"][i])
                 for i in range(n)]
