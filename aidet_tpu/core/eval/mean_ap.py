@@ -29,25 +29,17 @@ def bbox_overlaps_np(b1, b2):
 def quad_overlaps_np(q1, q2):
     """Polygon IoU between [N,8] and [M,8] quads (host path).
 
-    Pads both sides up to power-of-two buckets before the jitted
-    polygon-clipping kernel: a full DOTA eval calls this with
-    thousands of distinct ragged (N, M) shapes, and an unbucketed call
-    would trigger a fresh XLA compile for every one.
-    """
+    Pure numpy (data/np_rboxes.quad_overlaps_np_host, lock-step tested
+    against core/riou.quad_overlaps): a full DOTA eval calls this with
+    thousands of distinct ragged (N, M) shapes, and any jax routing
+    pays either a compile per shape bucket (~5 s each on CPU) or a
+    tunnel round-trip per call on a remote device."""
     n, m = len(q1), len(q2)
     if n == 0 or m == 0:
         return np.zeros((n, m), np.float32)
-    import jax.numpy as jnp
-
-    from ..riou import quad_overlaps
-    np2 = 1 << (n - 1).bit_length()
-    mp2 = 1 << (m - 1).bit_length()
-    q1p = np.zeros((np2, 8), np.float32)
-    q1p[:n] = np.asarray(q1, np.float32)
-    q2p = np.zeros((mp2, 8), np.float32)
-    q2p[:m] = np.asarray(q2, np.float32)
-    out = np.asarray(quad_overlaps(jnp.asarray(q1p), jnp.asarray(q2p)))
-    return out[:n, :m]
+    from ...data.np_rboxes import quad_overlaps_np_host
+    return quad_overlaps_np_host(np.asarray(q1, np.float32),
+                                 np.asarray(q2, np.float32))
 
 
 def average_precision(recalls, precisions, mode="area"):
