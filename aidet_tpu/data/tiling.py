@@ -35,12 +35,19 @@ def tile_image(img: np.ndarray, patch: int = 1024, overlap: int = 200):
     coords = tile_coords(h, w, patch, overlap)
     n = len(coords)
     c = img.shape[2] if img.ndim == 3 else 1
-    patches = np.zeros((n, patch, patch, c), img.dtype)
+    # empty + zero-only-borders: tile_coords snaps the last windows
+    # inside the scene, so every tile is full-size whenever the scene
+    # is at least one patch wide — the big zero-fill would be pure
+    # waste on the common path
+    patches = np.empty((n, patch, patch, c), img.dtype)
     offs = np.zeros((n, 2), np.float32)
     for i, (x, y) in enumerate(coords):
         tile = img[y:y + patch, x:x + patch]
-        patches[i, :tile.shape[0], :tile.shape[1]] = \
-            tile if tile.ndim == 3 else tile[..., None]
+        th, tw = tile.shape[:2]
+        if th < patch or tw < patch:
+            patches[i, th:] = 0
+            patches[i, :th, tw:] = 0
+        patches[i, :th, :tw] = tile if tile.ndim == 3 else tile[..., None]
         offs[i] = (x, y)
     return patches, offs
 
