@@ -15,12 +15,12 @@ mkdir -p "$OUT"
 step() { echo "=== $1 ($(date +%H:%M:%S)) ==="; }
 
 step "bench: band baseline (inference only, new rpn default)"
-AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=1 timeout 1800 python bench.py \
+AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=1 timeout 2700 python bench.py \
   >"$OUT/bench_band.log" 2>&1
 tail -2 "$OUT/bench_band.log"
 
 step "bench: bandx"
-AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=x timeout 1800 python bench.py \
+AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=x timeout 2700 python bench.py \
   >"$OUT/bench_bandx.log" 2>&1
 tail -2 "$OUT/bench_bandx.log"
 
@@ -43,6 +43,26 @@ PY
 )
 echo "roi winner: AIDET_ROI_BAND=$BAND"
 
+# mandatory deliverables first (VERDICT r3 items 3 and 6): the
+# on-chip train profile and the fused win-or-delete measurement.
+# The single-flag A/B controls are luxuries — each is a potentially
+# cold ~30-min compile for one sentence of notes — so they run last
+# and are the ones a deadline cut drops.
+step "train-step profile (stages)"
+timeout 2700 python tools/profile_train.py --stages \
+  >"$OUT/train_stages.log" 2>&1
+tail -16 "$OUT/train_stages.log"
+
+step "fused strip kernels re-measure: win or delete"
+timeout 1500 python tools/bench_kernels_r3.py --only fused \
+  >"$OUT/fused.log" 2>&1
+tail -8 "$OUT/fused.log"
+
+step "roi kernel family A/B (band vs bandx @16k rois)"
+timeout 1500 python tools/bench_kernels_r3.py --only roi \
+  >"$OUT/roi_kernels.log" 2>&1
+tail -12 "$OUT/roi_kernels.log"
+
 step "bench: winner + batch 32"
 AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=$BAND AIDET_BENCH_BATCH=32 \
   timeout 1800 python bench.py >"$OUT/bench_b32.log" 2>&1
@@ -57,20 +77,5 @@ step "bench: stem-phase OFF control (winner roi, batch 16)"
 AIDET_BENCH_SKIP_TRAIN=1 AIDET_ROI_BAND=$BAND AIDET_STEM_PHASE=0 \
   timeout 1800 python bench.py >"$OUT/bench_stemoff.log" 2>&1
 tail -2 "$OUT/bench_stemoff.log"
-
-step "train-step profile (stages)"
-timeout 2700 python tools/profile_train.py --stages \
-  >"$OUT/train_stages.log" 2>&1
-tail -16 "$OUT/train_stages.log"
-
-step "roi kernel family A/B (band vs bandx @16k rois)"
-timeout 1500 python tools/bench_kernels_r3.py --only roi \
-  >"$OUT/roi_kernels.log" 2>&1
-tail -12 "$OUT/roi_kernels.log"
-
-step "fused strip kernels re-measure: win or delete"
-timeout 1500 python tools/bench_kernels_r3.py --only fused \
-  >"$OUT/fused.log" 2>&1
-tail -8 "$OUT/fused.log"
 
 echo "=== perf session part-1 done $(date) ==="
