@@ -26,7 +26,7 @@ probe() {
   timeout 90 python - >/dev/null 2>&1 <<'PY'
 import jax, jax.numpy as jnp
 x = jnp.ones((128, 128))
-assert float((x @ x).sum()) == 128.0 ** 3 / 128
+assert float((x @ x).sum()) == 128.0 ** 3
 PY
 }
 echo "=== probing tunnel $(date) ===" | tee -a /tmp/tunnel_watch4.log
