@@ -1,3 +1,8 @@
+"""Results (val scenes, synthetic devkit dota_e2e_xl, R18@512 GN 12ep from scratch):
+    OBB mAP@0.5: 0.4202    HBB mAP@0.5: 0.4296
+(recorded by tools/publish_results.py — the reference's
+config-docstring convention, configs/dota/dota_v002_theta_obb_r50_v1_train.py:2-8)
+"""
 # Tiny e2e variant of mask_obb_r50_fpn_1x_dota.py (R18@512, the
 # synthetic-devkit recipe): the fifth flagship OBB encoding — OBBs
 # extracted from predicted instance masks via min-area-rect at eval
