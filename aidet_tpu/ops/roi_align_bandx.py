@@ -69,7 +69,12 @@ def _kernel(num_levels, out_size, c, csplit, rows_l, wl_list, chunk,
         band[...] = jnp.zeros_like(band)
 
     # one band DMA per chunk AT MOST; consecutive chunks of a large
-    # group skip it entirely (keys are sorted)
+    # group skip it entirely (keys are sorted).  The row offset is
+    # carried as row0//8 and rescaled here so Mosaic can PROVE the
+    # dynamic dim-2 slice is sublane-aligned (tile 8) — a raw dynamic
+    # offset fails to compile ("tile index in dimension 2 is divisible
+    # by the tiling"); the host guarantees row0 % 16 == 0 by padding
+    # level heights to multiples of 16.
     @pl.when(key_ref[pid] != loaded[0])
     def _():
         for l in range(num_levels):
@@ -77,7 +82,8 @@ def _kernel(num_levels, out_size, c, csplit, rows_l, wl_list, chunk,
             def _(l=l):
                 cp = pltpu.make_async_copy(
                     feat_refs[l].at[b_ref[pid], :,
-                                    pl.ds(row0_ref[pid], rows_l[l]), :],
+                                    pl.ds(row0_ref[pid] * 8, rows_l[l]),
+                                    :],
                     band.at[pl.ds(0, wl_list[l]),
                             pl.ds(0, rows_l[l]), :],
                     sem)
@@ -144,7 +150,11 @@ def roi_align_bandx(feats, rois_b, out_size=7,
     s = sampling_ratio
     hs = [f.shape[1] for f in feats]
     ws = [f.shape[2] for f in feats]
-    rows_l = tuple(min(BAND_H, h) for h in hs)
+    # pad heights to multiples of 16 so every band offset (band_id*16
+    # or the tail clamp hp-48) is 16-aligned — Mosaic needs the dynamic
+    # dim-2 DMA offset provably divisible by the sublane tile (8)
+    hps = [-(-h // 16) * 16 for h in hs]
+    rows_l = tuple(min(BAND_H, h) for h in hps)
     wpad = max(ws)
     chunk = _chunk_size(out_size)
 
@@ -153,13 +163,14 @@ def roi_align_bandx(feats, rois_b, out_size=7,
         finest_scale, aligned, use_small=False, with_coords=True)
     lvls = cls_ids // 2
 
-    # band assignment + chunk grouping by (image, level, band)
+    # band assignment + chunk grouping by (image, level, band); all
+    # row0 values are multiples of 16 (BAND_S=16, hp%16==0)
     rows_arr = jnp.asarray(rows_l, jnp.int32)[lvls]
-    hs_arr = jnp.asarray(hs, jnp.int32)[lvls]
+    hp_arr = jnp.asarray(hps, jnp.int32)[lvls]
     band_id = wy // BAND_S
     row0 = jnp.minimum(band_id * BAND_S,
-                       jnp.maximum(hs_arr - rows_arr, 0))
-    max_bands = max(hs) // BAND_S + 1
+                       jnp.maximum(hp_arr - rows_arr, 0))
+    max_bands = max(hps) // BAND_S + 1
     key = (b_idx * num_levels + lvls) * max_bands + band_id
     perm = jnp.argsort(key, stable=True)
     inv = jnp.argsort(perm, stable=True)
@@ -176,7 +187,7 @@ def roi_align_bandx(feats, rois_b, out_size=7,
     pos = chunk_id * chunk + slot                     # strictly increasing
 
     # static chunk-count bound: full chunks + one partial per group
-    g_max = b * sum(-(-h // BAND_S) for h in hs)
+    g_max = b * sum(-(-h // BAND_S) for h in hps)
     n_chunks = -(-k // chunk) + g_max
     kp = n_chunks * chunk
 
@@ -207,8 +218,14 @@ def roi_align_bandx(feats, rois_b, out_size=7,
     lvl_ck = lvls[perm][starts]
     row0_ck = row0_s[starts]
 
-    # x-major pyramid (one XLA transpose pass)
-    xposed = [jnp.swapaxes(f, 1, 2) for f in feats]
+    # x-major pyramid (one XLA transpose pass), H padded to 16 — a
+    # no-op for the usual 512/1024 inputs whose level heights are
+    # already multiples of 16
+    xposed = [
+        jnp.pad(jnp.swapaxes(f, 1, 2),
+                ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+        if hp != h else jnp.swapaxes(f, 1, 2)
+        for f, h, hp in zip(feats, hs, hps)]
 
     csplit = 1
     while (wpad * BAND_H * c * 2
@@ -244,7 +261,7 @@ def roi_align_bandx(feats, rois_b, out_size=7,
         grid_spec=grid_spec,
         interpret=os.environ.get("AIDET_BANDX_INTERPRET", "0") == "1",
     )(key_ck.astype(jnp.int32), b_ck.astype(jnp.int32),
-      lvl_ck.astype(jnp.int32), row0_ck.astype(jnp.int32),
+      lvl_ck.astype(jnp.int32), (row0_ck // 8).astype(jnp.int32),
       *xposed, wx_all, wy_all)
     # sorted rois live at `pos`; one fused gather maps each original
     # roi to its chunk slot (out[pos][inv] would gather ~100MB twice)
