@@ -162,51 +162,15 @@ class Bottleneck(nn.Module):
 
 class _ConvP(nn.Module):
     """Declares exactly the params an nn.Conv(use_bias=False) would —
-    used by the fused-chain path to own the same checkpoint tree as the
-    unfused Bottleneck submodules."""
+    lets a path that relays the kernel out manually (the phase-
+    decomposed s2d stem conv) own the same checkpoint tree as the
+    plain nn.Conv variant."""
     shape: tuple
 
     @nn.compact
     def __call__(self):
         return self.param("kernel", nn.initializers.lecun_normal(),
                           self.shape)
-
-
-class _BNP(nn.Module):
-    """Param/stat twin of FrozenBN (same names, shapes, collections)."""
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones,
-                           (self.features,))
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,))
-        mean = self.variable(
-            "batch_stats", "mean",
-            lambda: jnp.zeros((self.features,), jnp.float32)).value
-        var = self.variable(
-            "batch_stats", "var",
-            lambda: jnp.ones((self.features,), jnp.float32)).value
-        return scale, bias, mean, var
-
-
-class _BottleneckParams(nn.Module):
-    """Checkpoint-tree twin of a stride-1 identity Bottleneck: declares
-    conv1/bn1/conv2/bn2/conv3/bn3 without running them, returning the
-    raw weights for the fused Pallas chain (ops/fused_resnet.py)."""
-    cin: int
-    planes: int
-
-    @nn.compact
-    def __call__(self):
-        w1 = _ConvP((1, 1, self.cin, self.planes), name="conv1")()
-        bn1 = _BNP(self.planes, name="bn1")()
-        w2 = _ConvP((3, 3, self.planes, self.planes), name="conv2")()
-        bn2 = _BNP(self.planes, name="bn2")()
-        w3 = _ConvP((1, 1, self.planes, self.cin), name="conv3")()
-        bn3 = _BNP(self.cin, name="bn3")()
-        return (w1, bn1, w2, bn2, w3, bn3)
 
 
 ARCH_SETTINGS = {
@@ -265,15 +229,6 @@ class ResNet(nn.Module):
     # 4 phases as output channels. Same math, same checkpoint tree
     # (the [4,4,4C,F] stem_conv kernel is relaid out in-graph).
     stem_s2d_phase: bool = False
-    # fuse each stage's run of stride-1 identity bottlenecks into one
-    # Pallas VMEM-resident chain (ops/fused_resnet.py) — same math,
-    # same checkpoint tree, ~3x less HBM traffic on the memory-bound
-    # stride-4/8 stages; requires Bottleneck blocks without dcn /
-    # gen_attention on the fused stage
-    fused_identity_chains: bool = False
-    fused_stages: Sequence[bool] = (True, True, True, False)
-    # identity blocks per fused kernel call (VMEM weight budget)
-    fused_max_chain: int = 3
 
     @nn.compact
     def __call__(self, x):
@@ -317,29 +272,11 @@ class ResNet(nn.Module):
         for i in range(self.num_stages):
             planes = self.base_channels * 2 ** i
             out_c = planes * block_cls.expansion
-            fuse_stage = (
-                self.fused_identity_chains
-                and self.fused_stages[i]
-                and block_cls is Bottleneck
-                and stage_blocks[i] > 1
-                and self.dilations[i] == 1
-                and self.norm_cfg is None and self.conv_cfg is None
-                and not (self.dcn is not None and self.stage_with_dcn[i])
-                and not (self.gcb is not None and self.stage_with_gcb[i])
-                and not (self.gen_attention is not None
-                         and self.gen_attention_stages[i]))
-            pending = []           # identity-block weights awaiting fuse
             for b in range(stage_blocks[i]):
                 stride = self.strides[i] if b == 0 else 1
                 # projection shortcut only when geometry/channels change
                 # (torch resnet convention)
                 ds = b == 0 and (stride != 1 or cur_c != out_c)
-                if fuse_stage and b > 0:
-                    pending.append(_BottleneckParams(
-                        cin=out_c, planes=planes,
-                        name=f"layer{i + 1}_block{b}")())
-                    cur_c = out_c
-                    continue
                 extra = {}
                 if self.norm_cfg is not None:
                     extra["norm_cfg"] = self.norm_cfg
@@ -366,12 +303,6 @@ class ResNet(nn.Module):
                         in_dim=out_c, dtype=self.dtype,
                         name=f"layer{i + 1}_block{b}_gen_attention",
                         **dict(self.gen_attention))(x)
-            if pending:
-                from ...ops.fused_resnet import run_identity_chain
-                for c0 in range(0, len(pending), self.fused_max_chain):
-                    x = run_identity_chain(
-                        x.astype(self.dtype),
-                        pending[c0:c0 + self.fused_max_chain])
             if i + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if i in self.out_indices:

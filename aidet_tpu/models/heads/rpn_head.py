@@ -16,9 +16,6 @@ class RPNHead(nn.Module):
     num_anchors: int = 3
     use_sigmoid_cls: bool = True
     dtype: jnp.dtype = jnp.float32
-    # one Pallas pass per level: 3x3 + relu + cls/reg 1x1s without the
-    # HBM round trip for the shared feature (ops/fused_fpn.py)
-    fused: bool = False
 
     @property
     def cls_out_channels(self):
@@ -26,24 +23,6 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats):
-        if self.fused and self.in_channels == self.feat_channels:
-            from ...utils.platform import is_tpu_backend as _is_tpu_backend
-
-            from ..necks.fpn import _ConvBP
-            from ...ops.fused_fpn import rpn_fused
-            wr, br = _ConvBP((3, 3, self.in_channels,
-                              self.feat_channels), name="rpn_conv")()
-            wc, bc = _ConvBP(
-                (1, 1, self.feat_channels,
-                 self.num_anchors * self.cls_out_channels),
-                name="rpn_cls")()
-            wg, bg = _ConvBP((1, 1, self.feat_channels,
-                              self.num_anchors * 4), name="rpn_reg")()
-            cls_out, reg_out = rpn_fused(
-                tuple(f.astype(self.dtype) for f in feats),
-                (wr, br, wc[0, 0], bc, wg[0, 0], bg),
-                not _is_tpu_backend())
-            return list(cls_out), list(reg_out)
         shared = nn.Conv(self.feat_channels, (3, 3), padding=1,
                          dtype=self.dtype, name="rpn_conv")
         n_cls = self.num_anchors * self.cls_out_channels

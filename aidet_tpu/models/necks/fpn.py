@@ -41,8 +41,9 @@ def _upsample_nearest_2x(x, like):
 
 class _ConvBP(nn.Module):
     """Param twin of nn.Conv (kernel + bias, default inits) — declares
-    the identical checkpoint tree without running the conv, for the
-    fused Pallas path (ops/fused_fpn.py)."""
+    the identical checkpoint tree without running the conv, for paths
+    that contract with a manually combined kernel (e.g. the RPN head's
+    single cls+reg 1x1)."""
     shape: tuple          # (kh, kw, cin, cout)
 
     @nn.compact
@@ -51,16 +52,6 @@ class _ConvBP(nn.Module):
                        self.shape)
         b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
         return k, b
-
-
-def _exact_pyramid(used):
-    """True when consecutive levels halve exactly (fused-kernel
-    precondition for the in-VMEM nearest-2x merge)."""
-    for a, b in zip(used[:-1], used[1:]):
-        if (a.shape[1] != 2 * b.shape[1] or a.shape[2] != 2 * b.shape[2]
-                or a.shape[1] % 2 or a.shape[2] % 2):
-            return False
-    return True
 
 
 @NECKS.register
@@ -74,10 +65,6 @@ class FPN(nn.Module):
     extra_convs_on_inputs: bool = True
     relu_before_extra_convs: bool = False
     dtype: jnp.dtype = jnp.float32
-    # fuse lateral + top-down merge + 3x3 out conv per level into one
-    # Pallas strip kernel (ops/fused_fpn.py); same checkpoint tree,
-    # falls back to the XLA path for non-exact-2x pyramids
-    fused: bool = False
     # norm_cfg=dict(type='GN', num_groups=32): GroupNorm after every
     # lateral/output/extra conv, convs bias-less (reference ConvModule
     # bias = norm_cfg is None; configs/gn)
@@ -96,43 +83,25 @@ class FPN(nn.Module):
                else self.end_level + 1)
         used = list(inputs[self.start_level:end])
 
-        if self.fused and self.norm_cfg is None and _exact_pyramid(used):
-            from ...ops.fused_fpn import fpn_fused
-            from ...utils.platform import is_tpu_backend as _is_tpu_backend
-            wls, bls, wps, bps = [], [], [], []
-            for i, x in enumerate(used):
-                kl, bl = _ConvBP((1, 1, x.shape[-1], self.out_channels),
-                                 name=f"lateral{i}")()
-                kp, bp = _ConvBP((3, 3, self.out_channels,
-                                  self.out_channels), name=f"fpn{i}")()
-                wls.append(kl[0, 0])
-                bls.append(bl)
-                wps.append(kp)
-                bps.append(bp)
-            outs = list(fpn_fused(
-                tuple(x.astype(self.dtype) for x in used),
-                (tuple(wls), tuple(bls), tuple(wps), tuple(bps)),
-                not _is_tpu_backend()))
-        else:
-            bias = self.norm_cfg is None
-            laterals = [
-                self._norm(f"lateral_norm{i}")(
-                    nn.Conv(self.out_channels, (1, 1), use_bias=bias,
-                            dtype=self.dtype, name=f"lateral{i}")(x))
-                for i, x in enumerate(used)
-            ]
-            # top-down pathway
-            for i in range(len(laterals) - 1, 0, -1):
-                laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(
-                    laterals[i], laterals[i - 1])
+        bias = self.norm_cfg is None
+        laterals = [
+            self._norm(f"lateral_norm{i}")(
+                nn.Conv(self.out_channels, (1, 1), use_bias=bias,
+                        dtype=self.dtype, name=f"lateral{i}")(x))
+            for i, x in enumerate(used)
+        ]
+        # top-down pathway
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(
+                laterals[i], laterals[i - 1])
 
-            outs = [
-                self._norm(f"fpn_norm{i}")(
-                    nn.Conv(self.out_channels, (3, 3), padding=1,
-                            use_bias=bias, dtype=self.dtype,
-                            name=f"fpn{i}")(laterals[i]))
-                for i in range(len(laterals))
-            ]
+        outs = [
+            self._norm(f"fpn_norm{i}")(
+                nn.Conv(self.out_channels, (3, 3), padding=1,
+                        use_bias=bias, dtype=self.dtype,
+                        name=f"fpn{i}")(laterals[i]))
+            for i in range(len(laterals))
+        ]
 
         # extra levels (fpn.py:137-160)
         extra = self.num_outs - len(outs)

@@ -103,9 +103,14 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
     predict = jax.jit(lambda v, im, sh: model.apply(v, im, sh,
                                                     method="predict"))
 
-    def one_scene():
-        p, offs_ = tile_image(scene_img, patch, overlap)   # host slice
-        out = jax.device_get(predict(variables, jnp.asarray(p), shapes))
+    def dispatch():
+        """Host slice + async uint8 put + async predict dispatch."""
+        p, offs_ = tile_image(scene_img, patch, overlap)
+        return predict(variables, jnp.asarray(p), shapes), offs_
+
+    def drain(out_dev, offs_):
+        """Lift one scene's outputs + global rotated-NMS merge (host)."""
+        out = jax.device_get(out_dev)
         quads = thetaobb2pointobb(np.asarray(out["rboxes"]))
         dets = [dict(boxes=quads[i], scores=out["scores"][i],
                      labels=out["labels"][i], valid=out["valid"][i])
@@ -113,10 +118,19 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
         return merge_patch_detections(dets, offs_, num_classes=15,
                                       box_type="quad")
 
-    one_scene()                                # compile + warm
+    drain(*dispatch())                         # compile + warm
+    # depth-1 software pipeline — the serving pattern
+    # (apis/async_inference.py): scene i+1's transfer + device compute
+    # run while scene i's outputs are lifted and merged on the host,
+    # so the device never idles behind the host-side merge
     t0 = time.perf_counter()
+    pending = None
     for _ in range(n_scenes):
-        one_scene()
+        nxt = dispatch()
+        if pending is not None:
+            drain(*pending)
+        pending = nxt
+    drain(*pending)
     dt = time.perf_counter() - t0
     return n_scenes * n / dt
 

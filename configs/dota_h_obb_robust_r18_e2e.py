@@ -1,3 +1,8 @@
+"""Results (val scenes, synthetic devkit dota_e2e_xl, R18@512 GN 12ep from scratch):
+    OBB mAP@0.5: 0.2355    HBB mAP@0.5: 0.4166
+(recorded by tools/publish_results.py — the reference's
+config-docstring convention, configs/dota/dota_v002_theta_obb_r50_v1_train.py:2-8)
+"""
 # hobb e2e recipe + sort-robust regression loss: per-sample min over
 # the 4 cyclic first-edge target representations (hobb_rolls), which
 # removes the best-point-sort target cliff tools/analyze_hobb.py

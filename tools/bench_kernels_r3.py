@@ -1,8 +1,8 @@
-"""Round-3 chip microbenches: RoIAlign kernel variants + restructured
-fused strip kernels, at flagship shapes (batch 16, 1024^2, bf16).
+"""Chip microbenches: RoIAlign kernel variants + stem phase A/B, at
+flagship shapes (batch 16, 1024^2, bf16).
 
 Run after the e2e suite frees the chip; prints a ms table per variant
-so the flagship flags (AIDET_ROI_BAND, fused toggles) can be set to
+so the flagship flags (AIDET_ROI_BAND, stem toggles) can be set to
 whatever actually wins on hardware.
 """
 
@@ -56,53 +56,6 @@ def bench_roi(iters):
                   f"{str(e)[:200]}", flush=True)
 
 
-def bench_fused(iters):
-    import jax
-    import jax.numpy as jnp
-
-    from aidet_tpu.models.backbones.resnet import ResNet
-    from aidet_tpu.models.necks.fpn import FPN
-    from aidet_tpu.models.heads.rpn_head import RPNHead
-
-    b, s = 16, 1024
-    imgs = jnp.zeros((b, s, s, 3), jnp.float32)
-
-    # backbone: fused identity chains vs XLA (same param tree)
-    kw = dict(depth=50, dtype=jnp.bfloat16, stem_space_to_depth=True)
-    bb = ResNet(**kw)
-    v = jax.jit(bb.init)(jax.random.PRNGKey(0), imgs)
-    t = timeit(lambda vv, im: bb.apply(vv, im), v, imgs, iters=iters)
-    print(f"backbone XLA   {t * 1e3:8.2f} ms", flush=True)
-    bbf = ResNet(fused_identity_chains=True, **kw)
-    t = timeit(lambda vv, im: bbf.apply(vv, im), v, imgs, iters=iters)
-    print(f"backbone fused {t * 1e3:8.2f} ms", flush=True)
-
-    feats = jax.jit(bb.apply)(v, imgs)
-
-    # FPN fused vs XLA
-    fkw = dict(num_outs=5, dtype=jnp.bfloat16)
-    fpn = FPN(**fkw)
-    fv = jax.jit(fpn.init)(jax.random.PRNGKey(0), feats)
-    t = timeit(lambda vv, ff: fpn.apply(vv, ff), fv, feats, iters=iters)
-    print(f"fpn      XLA   {t * 1e3:8.2f} ms", flush=True)
-    fpnf = FPN(fused=True, **fkw)
-    t = timeit(lambda vv, ff: fpnf.apply(vv, ff), fv, feats, iters=iters)
-    print(f"fpn      fused {t * 1e3:8.2f} ms", flush=True)
-
-    fpn_out = jax.jit(fpn.apply)(fv, feats)
-
-    # RPN head fused vs XLA
-    rkw = dict(num_anchors=3, dtype=jnp.bfloat16)
-    rpn = RPNHead(**rkw)
-    rv = jax.jit(rpn.init)(jax.random.PRNGKey(0), fpn_out)
-    t = timeit(lambda vv, ff: rpn.apply(vv, ff), rv, fpn_out, iters=iters)
-    print(f"rpn      XLA   {t * 1e3:8.2f} ms", flush=True)
-    rpnf = RPNHead(fused=True, **rkw)
-    t = timeit(lambda vv, ff: rpnf.apply(vv, ff), rv, fpn_out,
-               iters=iters)
-    print(f"rpn      fused {t * 1e3:8.2f} ms", flush=True)
-
-
 def bench_stem(iters):
     """Full-backbone A/B of the phase-decomposed s2d stem conv (same
     checkpoint tree, so one init serves both variants)."""
@@ -126,15 +79,13 @@ def bench_stem(iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--only", choices=["roi", "fused", "stem"],
+    ap.add_argument("--only", choices=["roi", "stem"],
                     default=None)
     args = ap.parse_args()
     import jax
     print("platform:", jax.devices()[0].platform, flush=True)
     if args.only in (None, "roi"):
         bench_roi(args.iters)
-    if args.only in (None, "fused"):
-        bench_fused(args.iters)
     if args.only in (None, "stem"):
         bench_stem(args.iters)
 
