@@ -118,9 +118,25 @@ def quad_overlaps(quads1: jax.Array, quads2: jax.Array,
     if aligned:
         inter = jax.vmap(_quad_pair_intersection)(p1, p2)
     else:
-        inter = jax.vmap(
-            lambda q1: jax.vmap(lambda q2: _quad_pair_intersection(q1, q2))(p2)
-        )(p1)
+        row = jax.vmap(
+            lambda q1: jax.vmap(
+                lambda q2: _quad_pair_intersection(q1, q2))(p2))
+        n, m = p1.shape[0], p2.shape[0]
+        chunk = 32
+        if n * m > 64 * 64 and n > chunk:
+            # chunk the outer set so the clip intermediates (up to
+            # [chunk, M, 8, 2] scratch polygons per step) never
+            # materialize for all N*M pairs at once — the full nested
+            # vmap allocates [N, M, 8, 2] PER outer-vmap lane, which
+            # OOMs HBM at multiclass-rnms scale (B=8 x C=15 x 256^2
+            # pairs = 32 GB).  lax.map keeps the chunks sequential
+            # even under those outer vmaps.
+            pad = -n % chunk
+            p1p = jnp.pad(p1, ((0, pad), (0, 0), (0, 0)))
+            inter = jax.lax.map(
+                row, p1p.reshape(-1, chunk, 4, 2)).reshape(-1, m)[:n]
+        else:
+            inter = row(p1)
         a1 = a1[:, None]
         a2 = a2[None, :]
 
