@@ -157,7 +157,12 @@ def _clip_halfplane_np(poly, cnt, a, b):
     s_cur = ex * (poly[..., 1] - ay) - ey * (poly[..., 0] - ax)
     s_nxt = ex * (nxt_p[..., 1] - ay) - ey * (nxt_p[..., 0] - ax)
     denom = s_cur - s_nxt
-    t = s_cur / np.where(denom == 0, 1e-30, denom)
+    # The intersection parameter is only meaningful in [0, 1]; outside
+    # (parallel / collinear edges where denom ~ 0 makes t explode) the
+    # emit mask below discards the point anyway, but letting ~1e30
+    # products through fired RuntimeWarning(overflow) inside the DOTA
+    # eval path (round-4 bench tail).  Clamp before the multiply.
+    t = np.clip(s_cur / np.where(denom == 0, 1e-30, denom), 0.0, 1.0)
     inter = poly + t[..., None] * (nxt_p - poly)
 
     emit_cur = valid & (s_cur >= 0)

@@ -104,3 +104,49 @@ def test_retinanet_obb_learns_rotation():
         if first is None:
             first = float(tot)
     assert float(tot) < first, (first, float(tot))
+
+
+def test_rotated_predict_e2e_shapes_memory():
+    """Regression for the round-4 RetinaNetOBB e2e crash: the rotated
+    multiclass NMS materialized all-pairs polygon-clip scratch with
+    trailing (8, 2) micro-dims — f32[8,15,256,256,8,2], which the TPU
+    (8, 128) tile layout pads 64x to a 32 GB allocation
+    (work_dirs/dota_retinanet_theta_obb_r18_e2e_e2e.log).  The SoA
+    rewrite of core/riou.py keeps pair axes trailing and chunks with a
+    vmap-proof fori_loop; this test compiles the FULL predict decode at
+    the e2e config's exact shapes (512^2, 5 levels, nms_pre=1000,
+    15 classes, batch 8) and bounds compiled peak memory.
+    """
+    from aidet_tpu.models.heads.anchor_head import anchor_head_rboxes
+
+    level_hw = [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4)]
+    num_anchors = 9
+    level_sizes = tuple(h * w * num_anchors for h, w in level_hw)
+    a_tot = sum(level_sizes)
+    batch, ncls = 8, 15
+
+    rng = np.random.RandomState(0)
+    cls_flat = jnp.asarray(rng.randn(batch, a_tot, ncls), jnp.float32)
+    box_flat = jnp.asarray(rng.randn(batch, a_tot, 5) * 0.1, jnp.float32)
+    cx = rng.uniform(0, 512, a_tot).astype(np.float32)
+    cy = rng.uniform(0, 512, a_tot).astype(np.float32)
+    w = rng.uniform(8, 64, a_tot).astype(np.float32)
+    h = rng.uniform(8, 64, a_tot).astype(np.float32)
+    anchors = jnp.asarray(
+        np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1))
+    img_shapes = jnp.tile(jnp.asarray([[512.0, 512.0]]), (batch, 1))
+
+    fn = jax.jit(lambda c, b, a, s: anchor_head_rboxes(
+        c, b, a, level_sizes, s, encode="thetaobb", nms_pre=1000,
+        score_thr=0.05, nms_thr=0.1, max_per_img=100))
+    compiled = fn.lower(cls_flat, box_flat, anchors, img_shapes).compile()
+    mem = compiled.memory_analysis()
+    if mem is not None:  # backend-dependent; present on CPU+TPU jaxlibs
+        peak = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                + mem.output_size_in_bytes)
+        assert peak < 4 * 1024 ** 3, f"{peak / 1e9:.2f} GB compiled peak"
+
+    res, rboxes = compiled(cls_flat, box_flat, anchors, img_shapes)
+    assert rboxes.shape == (batch, 100, 5)
+    assert np.isfinite(np.asarray(res.boxes)).all()
+    assert np.isfinite(np.asarray(rboxes)).all()

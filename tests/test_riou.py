@@ -119,3 +119,69 @@ def test_degenerate_quads_give_zero():
     np.testing.assert_allclose(out, [[0.0]])
     out2 = np.asarray(quad_overlaps(jnp.asarray(z), jnp.asarray(z)))
     np.testing.assert_allclose(out2, [[0.0]])
+
+
+def _degenerate_suite():
+    """Quad pairs that exercise parallel / collinear / touching /
+    zero-area geometry — the cases where the clip parameter t blows up
+    (round-4 bench RuntimeWarning) or candidate masks go ragged."""
+    sq = np.array([0., 0., 10., 0., 10., 10., 0., 10.], np.float32)
+    cases = [
+        # identical squares (every edge pair parallel or collinear)
+        (sq, sq.copy(), 1.0),
+        # shared edge, disjoint interiors
+        (sq, sq + np.array([10, 0] * 4, np.float32), 0.0),
+        # shared corner only
+        (sq, sq + np.array([10, 10] * 4, np.float32), 0.0),
+        # collinear overlap strip (half-offset along x)
+        (sq, sq + np.array([5, 0] * 4, np.float32), 50. / 150.),
+        # zero-area (degenerate line) quad vs square
+        (np.array([0., 0., 10., 0., 10., 0., 0., 0.], np.float32), sq, 0.0),
+        # zero-area point quad
+        (np.full(8, 5., np.float32), sq, 0.0),
+        # nested (containment), parallel edges
+        (np.array([2., 2., 8., 2., 8., 8., 2., 8.], np.float32), sq,
+         36. / 100.),
+    ]
+    return cases
+
+
+def test_degenerate_geometry_device():
+    import warnings
+    for q1, q2, expect in _degenerate_suite():
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            out = float(np.asarray(
+                quad_overlaps(jnp.asarray(q1[None]),
+                              jnp.asarray(q2[None])))[0, 0])
+        np.testing.assert_allclose(out, expect, atol=1e-4,
+                                   err_msg=f"{q1} vs {q2}")
+
+
+def test_degenerate_geometry_host():
+    import warnings
+    from aidet_tpu.data.np_rboxes import quad_overlaps_np_host
+    for q1, q2, expect in _degenerate_suite():
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            out = float(quad_overlaps_np_host(q1[None], q2[None])[0, 0])
+        np.testing.assert_allclose(out, expect, atol=1e-4,
+                                   err_msg=f"{q1} vs {q2}")
+
+
+def test_near_parallel_edges_warning_clean():
+    """Quads rotated by ~1e-7 rad against each other: edge pairs are
+    near-parallel (denom ~ 0), the historic overflow site."""
+    import warnings
+    from aidet_tpu.data.np_rboxes import quad_overlaps_np_host
+    t = jnp.array([[50., 50., 30., 20., -0.3]])
+    q1 = np.asarray(rboxes.thetaobb2pointobb(t))
+    q2 = np.asarray(rboxes.thetaobb2pointobb(
+        t + jnp.array([[0., 0., 0., 0., 1e-7]])))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        host = float(quad_overlaps_np_host(q1, q2)[0, 0])
+        dev = float(np.asarray(quad_overlaps(
+            jnp.asarray(q1), jnp.asarray(q2)))[0, 0])
+    np.testing.assert_allclose(host, 1.0, atol=1e-4)
+    np.testing.assert_allclose(dev, 1.0, atol=1e-4)
