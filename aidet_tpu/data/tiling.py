@@ -9,7 +9,41 @@ running global per-class rotated NMS — here implemented natively.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+_MERGE_POOL = None
+_MERGE_POOL_SIZE = 0
+
+
+def _nms_task(args):
+    """Worker for one class's scene-level NMS (top-level so a spawn
+    pool can import it without dragging jax into the children)."""
+    boxes, scores, thr, box_type = args
+    from .np_rboxes import bbox_nms_np, quad_nms_np
+    if box_type == "quad":
+        return quad_nms_np(boxes, scores, thr)
+    return bbox_nms_np(boxes, scores, thr)
+
+
+def _get_merge_pool(workers: int):
+    """Persistent spawn-context process pool for the per-class merge
+    NMS (parity: the reference merge is multiprocessing —
+    mergebypoly_mp, datasets/dota.py:310-336).  spawn (not fork): the
+    parent typically holds a live JAX backend / TPU tunnel, which must
+    not leak into forked children; the one-time spawn import cost is
+    amortized by pool reuse across scenes."""
+    global _MERGE_POOL, _MERGE_POOL_SIZE
+    if _MERGE_POOL is None or _MERGE_POOL_SIZE != workers:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        if _MERGE_POOL is not None:
+            _MERGE_POOL.shutdown(wait=False)
+        _MERGE_POOL = ProcessPoolExecutor(
+            max_workers=workers, mp_context=mp.get_context("spawn"))
+        _MERGE_POOL_SIZE = workers
+    return _MERGE_POOL
 
 
 def tile_coords(height: int, width: int, patch: int = 1024,
@@ -54,7 +88,8 @@ def tile_image(img: np.ndarray, patch: int = 1024, overlap: int = 200):
 
 def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
                            iou_thr=0.3, box_type: str = "quad",
-                           score_thr: float = 0.05, max_keep: int = 2000):
+                           score_thr: float = 0.05, max_keep: int = 2000,
+                           workers: int | None = None):
     """Lift patch detections to scene coords + global per-class NMS.
 
     Replaces wwtool mergebypoly_mp/mergebyrec_mp (datasets/dota.py:
@@ -65,6 +100,10 @@ def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
       dets_per_patch: list of dicts with numpy 'boxes'([K,4] or quads
         [K,8]), 'scores'[K], 'labels'[K], 'valid'[K].
       offsets: [N, 2] patch origins (x, y).
+      workers: per-class NMS process-pool size (the reference merge is
+        multiprocessing: mergebypoly_mp).  None = auto — parallel when
+        several classes are busy enough to pay the pickling; 0/1 =
+        serial in-process.
     Returns dict(boxes, scores, labels) of scene-level detections.
     """
     from .np_rboxes import bbox_nms_np, quad_nms_np
@@ -92,22 +131,34 @@ def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
     scores = np.concatenate(all_scores).astype(np.float32)
     labels = np.concatenate(all_labels).astype(np.int32)
 
-    keep_mask = np.zeros(len(boxes), bool)
+    # host-native greedy NMS (np_rboxes twins of ops/nms): merge
+    # runs between device batches, and a jax dispatch here would
+    # go to the live backend — per-class network round-trips over
+    # a remote-device tunnel, serialized against in-flight work,
+    # plus a recompile per candidate-count bucket
+    tasks = []
     for c in range(num_classes):
         sel = np.nonzero((labels == c) & (scores > score_thr))[0]
         if len(sel) == 0:
             continue
-        thr = iou_thr[c] if isinstance(iou_thr, dict) else iou_thr
-        # host-native greedy NMS (np_rboxes twins of ops/nms): merge
-        # runs between device batches, and a jax dispatch here would
-        # go to the live backend — per-class network round-trips over
-        # a remote-device tunnel, serialized against in-flight work,
-        # plus a recompile per candidate-count bucket
-        if box_type == "quad":
-            k = quad_nms_np(boxes[sel], scores[sel], float(thr))
-        else:
-            k = bbox_nms_np(boxes[sel], scores[sel], float(thr))
-        keep_mask[sel[k]] = True
+        thr = float(iou_thr[c] if isinstance(iou_thr, dict) else iou_thr)
+        tasks.append((sel, (boxes[sel], scores[sel], thr, box_type)))
+
+    if workers is None:
+        busy = sum(len(sel) >= 64 for sel, _ in tasks)
+        workers = min(busy, os.cpu_count() or 1, 8) if busy >= 2 else 0
+
+    keep_mask = np.zeros(len(boxes), bool)
+    if workers and workers > 1 and len(tasks) > 1:
+        pool = _get_merge_pool(workers)
+        for (sel, _), k in zip(tasks, pool.map(
+                _nms_task, [t for _, t in tasks])):
+            keep_mask[sel[k]] = True
+    else:
+        for sel, (b, s, thr, bt) in tasks:
+            k = (quad_nms_np(b, s, thr) if bt == "quad"
+                 else bbox_nms_np(b, s, thr))
+            keep_mask[sel[k]] = True
 
     keep = np.nonzero(keep_mask)[0]
     if len(keep) > max_keep:

@@ -132,7 +132,32 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
         pending = nxt
     drain(*pending)
     dt = time.perf_counter() - t0
-    return n_scenes * n / dt
+
+    # decomposed serial pass (round-4 review item 5): split the honest
+    # number into host tile / uint8 transfer / device predict / host
+    # lift+merge so the tunnel tax is isolated, not assumed
+    stages = dict(tile=0.0, transfer=0.0, predict=0.0, merge=0.0)
+    n_probe = 2
+    for _ in range(n_probe):
+        s0 = time.perf_counter()
+        p, offs_ = tile_image(scene_img, patch, overlap)
+        s1 = time.perf_counter()
+        imgs_dev = jax.device_put(p)
+        jax.block_until_ready(imgs_dev)
+        s2 = time.perf_counter()
+        out_dev = predict(variables, imgs_dev, shapes)
+        jax.block_until_ready(out_dev)
+        s3 = time.perf_counter()
+        drain(out_dev, offs_)
+        s4 = time.perf_counter()
+        stages["tile"] += s1 - s0
+        stages["transfer"] += s2 - s1
+        stages["predict"] += s3 - s2
+        stages["merge"] += s4 - s3
+    stages = {k: v / n_probe * 1e3 for k, v in stages.items()}  # ms/scene
+    ex_transfer = n / ((stages["tile"] + stages["predict"]
+                        + stages["merge"]) / 1e3)
+    return n_scenes * n / dt, stages, ex_transfer
 
 
 def measure_train(batch: int = 8, img_size: int = 1024, max_gt: int = 64,
@@ -221,8 +246,11 @@ def main():
         try:
             _budget(int(os.environ.get("AIDET_BENCH_EXTRA_BUDGET",
                                        "1500")))
-            out["scene_e2e_patches_per_sec"] = round(
-                measure_scene_e2e(), 2)
+            scene_rate, scene_stages, ex_transfer = measure_scene_e2e()
+            out["scene_e2e_patches_per_sec"] = round(scene_rate, 2)
+            out["scene_e2e_ex_transfer"] = round(ex_transfer, 2)
+            out["scene_stage_ms"] = {
+                k: round(v, 1) for k, v in scene_stages.items()}
         except Exception as e:   # pragma: no cover
             out["scene_e2e_error"] = repr(e)[:120]
         try:

@@ -150,3 +150,32 @@ def test_dota_eval_int_difficult_and_orphan_scene():
                               labels=np.array([0]))}
     mAP2, _ = dota_eval(dets2, gts, ("harbor",), task="obb")
     assert mAP2 < 1.0 - 1e-6, mAP2
+
+
+def test_merge_parallel_matches_serial():
+    """The multiprocessing per-class merge (reference parity:
+    mergebypoly_mp, datasets/dota.py:310-336) must produce decisions
+    identical to the serial path."""
+    rng = np.random.RandomState(3)
+    n_patch, k = 4, 120
+    dets, offs = [], []
+    for i in range(n_patch):
+        cx = rng.uniform(100, 900, k).astype(np.float32)
+        cy = rng.uniform(100, 900, k).astype(np.float32)
+        w = rng.uniform(20, 80, k).astype(np.float32)
+        h = rng.uniform(20, 80, k).astype(np.float32)
+        quads = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy - h / 2,
+                          cx + w / 2, cy + h / 2, cx - w / 2, cy + h / 2],
+                         -1)
+        dets.append(dict(boxes=quads,
+                         scores=rng.rand(k).astype(np.float32),
+                         labels=rng.randint(0, 4, k).astype(np.int32),
+                         valid=np.ones(k, bool)))
+        offs.append((824 * (i % 2), 824 * (i // 2)))
+    offs = np.asarray(offs, np.float32)
+
+    serial = merge_patch_detections(dets, offs, num_classes=4, workers=0)
+    par = merge_patch_detections(dets, offs, num_classes=4, workers=3)
+    np.testing.assert_array_equal(serial["labels"], par["labels"])
+    np.testing.assert_allclose(serial["boxes"], par["boxes"])
+    np.testing.assert_allclose(serial["scores"], par["scores"])
