@@ -48,6 +48,9 @@ def main():
 
     b, s, g = args.batch, args.img_size, args.max_gt
     model = _build_flagship(s)
+    if args.cpu:
+        # Pallas kernels only run on TPU; XLA path for CPU smoke runs
+        model = model.clone(roi_align_impl="auto")
     rs = np.random.RandomState(0)
     xy = rs.uniform(10, s - 120, (b, g, 2))
     wh = rs.uniform(12, 100, (b, g, 2))
@@ -104,10 +107,30 @@ def main():
     float(a)
     t_fwd = (time.perf_counter() - t0) / args.iters
 
+    # loss + grads WITHOUT the optimizer/clip/state plumbing: splits
+    # the full-step overhead into "inside the loss bwd" vs "update"
+    # (round-4 review item 4: the 120 ms substage-vs-step gap)
+    def loss_and_grad(params, batch):
+        v = dict(variables, params=params)
+        return jax.value_and_grad(
+            lambda p: fwd(dict(v, params=p), batch))(params)
+    g = jax.jit(loss_and_grad)
+    val, grads = g(state.params, batch)
+    jax.tree_util.tree_map(lambda x: None, jax.device_get(val))
+    t0 = time.perf_counter()
+    a = jnp.float32(0)
+    for _ in range(args.iters):
+        val, grads = g(state.params, batch)
+        a = a + val
+    float(a)
+    t_grad = (time.perf_counter() - t0) / args.iters
+
     print(f"\nbatch={b} img={s} platform={jax.devices()[0].platform}")
     print(f"forward loss          {t_fwd * 1e3:9.2f} ms")
+    print(f"loss + grads          {t_grad * 1e3:9.2f} ms "
+          f"(bwd ≈ {(t_grad - t_fwd) * 1e3:.2f} ms)")
     print(f"full train step       {t_step * 1e3:9.2f} ms "
-          f"(bwd+update ≈ {(t_step - t_fwd) * 1e3:.2f} ms)")
+          f"(optimizer/clip/state ≈ {(t_step - t_grad) * 1e3:.2f} ms)")
     print(json.dumps(dict(
         metric="dota_1024_train_step_throughput",
         value=round(b / t_step, 2), unit="imgs/sec/chip",
@@ -248,6 +271,54 @@ def _profile_stages(model, state, batch, iters):
     timeit("rpn targets+loss fwd+bwd",
            lambda c, rg: jax.value_and_grad(rpn_tgt_loss, argnums=(0, 1))(
                c, rg), cls_flat, reg_flat)
+
+    # finer rpn-target breakdown (round-4 review item 4: the 47 ms
+    # substage needs its own ranking — assignment IoU vs sampling vs
+    # encode+loss)
+    from aidet_tpu.core.assign import max_iou_assign as _mia
+    from aidet_tpu.core.sample import random_sample_masks as _rsm
+
+    def _assign_only(gt, gtv):
+        def one(g, v):
+            return _mia(anchors, g, v, None,
+                        pos_iou_thr=rpn_cfg["pos_iou_thr"],
+                        neg_iou_thr=rpn_cfg["neg_iou_thr"],
+                        min_pos_iou=rpn_cfg["min_pos_iou"]).gt_inds
+        return jax.vmap(one)(gt, gtv)
+    timeit("  rpn assign (IoU+argmax)", _assign_only,
+           batch["gt_boxes"], batch["gt_valid"])
+
+    gt_inds_b = jax.jit(_assign_only)(batch["gt_boxes"],
+                                      batch["gt_valid"])
+
+    def _sample_only(gi):
+        ks = jax.random.split(k_rpn, b)
+        return jax.vmap(lambda g, k: _rsm(
+            k, g, rpn_cfg["num_samples"], rpn_cfg["pos_fraction"],
+            rpn_cfg["neg_pos_ub"]))(gi, ks)
+    timeit("  rpn sample (random masks)", _sample_only, gt_inds_b)
+
+    sm_b = jax.jit(_sample_only)(gt_inds_b)
+
+    def _encode_loss(c, rg, gi):
+        def one(g, gi_i, sm_pos, sm_neg):
+            safe = jnp.clip(gi_i - 1, 0, g.shape[0] - 1)
+            from aidet_tpu.core.boxes import bbox2delta
+            deltas = bbox2delta(anchors, g[safe], (0.,) * 4, rpn_stds)
+            posf = sm_pos.astype(jnp.float32)
+            return (deltas * posf[:, None],
+                    jnp.broadcast_to(posf[:, None], deltas.shape),
+                    jnp.where(sm_pos, 1, 0),
+                    posf + sm_neg.astype(jnp.float32))
+        bt, bw, lb, lw = jax.vmap(one)(
+            batch["gt_boxes"], gi, sm_b.pos, sm_b.neg)
+        nt = (sm_b.num_pos + sm_b.num_neg).sum().astype(jnp.float32)
+        return (cls_loss(c, lb, weight=lw, avg_factor=nt)
+                + bbox_loss(rg, bt, weight=bw, avg_factor=nt))
+    timeit("  rpn encode+loss fwd+bwd",
+           lambda c, rg: jax.value_and_grad(
+               _encode_loss, argnums=(0, 1))(c, rg, gt_inds_b),
+           cls_flat, reg_flat)
 
     timeit("rpn_proposals (no grad)",
            lambda c, rg: rpn_proposals(
