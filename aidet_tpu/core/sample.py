@@ -15,12 +15,30 @@ import jax
 import jax.numpy as jnp
 
 
-def random_topk_mask(key: jax.Array, mask: jax.Array, k) -> jax.Array:
+def random_topk_mask(key: jax.Array, mask: jax.Array, k,
+                     k_max: int | None = None) -> jax.Array:
     """Uniformly select up to ``k`` True entries of ``mask`` (k may be a
-    traced scalar), returned as a boolean mask."""
+    traced scalar), returned as a boolean mask.
+
+    ``k_max``: static upper bound on k.  When given, selection runs as
+    a bounded ``lax.top_k`` + threshold instead of a full argsort +
+    rank scatter — at RPN anchor counts (~262k, the anchor_target hot
+    path) the full sort/scatter pair is the single most expensive op
+    in the train step's target stage.  Exact for the tie-free random
+    keys used here (ties have measure zero).
+    """
     n = mask.shape[0]
     r = jax.random.uniform(key, (n,))
     score = jnp.where(mask, r, -1.0)
+    if k_max is not None:
+        k_max = min(int(k_max), n)
+        vals = jax.lax.top_k(score, k_max)[0]          # descending
+        kc = jnp.clip(k, 0, k_max)
+        thr = jnp.where(kc > 0,
+                        vals[jnp.maximum(kc - 1, 0)], jnp.inf)
+        # score >= thr keeps exactly kc masked entries (thr = -1.0 when
+        # fewer candidates than kc exist → the whole mask is kept)
+        return mask & (score >= thr)
     order = jnp.argsort(-score)
     rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     return mask & (rank < k)
@@ -64,7 +82,8 @@ def random_sample_masks(key: jax.Array, assigned: jax.Array,
     neg_cand = assigned == 0
 
     num_expected_pos = int(num * pos_fraction)
-    pos = random_topk_mask(kp, pos_cand, num_expected_pos)
+    pos = random_topk_mask(kp, pos_cand, num_expected_pos,
+                           k_max=num_expected_pos)
     num_pos = pos.sum()
 
     num_expected_neg = num - num_pos
@@ -74,7 +93,7 @@ def random_sample_masks(key: jax.Array, assigned: jax.Array,
     if neg_score is not None:
         neg = topk_mask_by_score(neg_cand, neg_score, num_expected_neg)
     else:
-        neg = random_topk_mask(kn, neg_cand, num_expected_neg)
+        neg = random_topk_mask(kn, neg_cand, num_expected_neg, k_max=num)
     return SampleMasks(pos, neg, num_pos, neg.sum())
 
 

@@ -256,3 +256,23 @@ def test_sample_fixed_combined_budget_and_balance():
     # every sampled positive really is assigned
     inds = np.asarray(s.inds)
     assert (assigned[inds[is_pos]] > 0).all()
+
+
+def test_random_topk_mask_bounded_matches_exact():
+    """The bounded top_k+threshold fast path must select the identical
+    set as the argsort path (random keys are tie-free)."""
+    import jax
+    from aidet_tpu.core.sample import random_topk_mask
+
+    key = jax.random.PRNGKey(9)
+    rng = np.random.RandomState(4)
+    for n, k in [(1000, 128), (5000, 256), (300, 300), (50, 128)]:
+        mask = jnp.asarray(rng.rand(n) < 0.3)
+        exact = random_topk_mask(key, mask, k)
+        fast = random_topk_mask(key, mask, k, k_max=k)
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(fast))
+        # traced k below the bound
+        kt = jnp.int32(k // 2)
+        exact = random_topk_mask(key, mask, kt)
+        fast = random_topk_mask(key, mask, kt, k_max=k)
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(fast))
