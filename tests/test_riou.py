@@ -185,3 +185,24 @@ def test_near_parallel_edges_warning_clean():
             jnp.asarray(q1), jnp.asarray(q2)))[0, 0])
     np.testing.assert_allclose(host, 1.0, atol=1e-4)
     np.testing.assert_allclose(dev, 1.0, atol=1e-4)
+
+
+def test_quad_overlaps_under_nested_vmap_matches_plain():
+    """The rnms consumer wraps quad_overlaps in vmap(batch) x
+    vmap(class); chunking must stay sequential and results identical
+    to the unbatched call (the round-4 OOM was this composition)."""
+    import jax
+
+    B, C, n = 2, 3, 40
+    qs = np.stack([np.stack([random_quads(n, 10 * b + c)
+                             for c in range(C)])
+                   for b in range(B)])  # [B, C, n, 8]
+    qj = jnp.asarray(qs.reshape(B, C, n, 8))
+
+    nested = jax.jit(jax.vmap(jax.vmap(
+        lambda q: quad_overlaps(q, q))))(qj)
+    for b in range(B):
+        for c in range(C):
+            plain = quad_overlaps(qj[b, c], qj[b, c])
+            np.testing.assert_allclose(np.asarray(nested[b, c]),
+                                       np.asarray(plain), atol=1e-4)
