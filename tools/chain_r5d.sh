@@ -21,7 +21,20 @@ while ! grep -q "chain_r5c done" /tmp/chain_r5c.out 2>/dev/null; do
   if [ -f /tmp/r5_stop ]; then echo "=== STOP flag ==="; exit 0; fi
   sleep 60
 done
-echo "=== r5c finished, $(left)s of budget left $(date) ==="
+echo "=== r5c finished $(date); waiting for go-flag (30 min grace) ==="
+# builder gets a 30-min window to claim the chip for profile-driven
+# iteration (touch /tmp/r5d_hold to extend indefinitely, /tmp/r5d_go to
+# start now); dead-man fallback keeps the chip busy if the builder is
+# stuck elsewhere
+GRACE_END=$(( $(date +%s) + 1800 ))
+while [ ! -f /tmp/r5d_go ]; do
+  if [ -f /tmp/r5_stop ]; then echo "=== STOP flag ==="; exit 0; fi
+  if [ "$(date +%s)" -ge "$GRACE_END" ] && [ ! -f /tmp/r5d_hold ]; then
+    echo "=== grace expired, auto-starting ==="; break
+  fi
+  sleep 30
+done
+echo "=== r5d starting, $(left)s of budget left $(date) ==="
 
 run_2x() {
   local cfg=$1 name=$2 need_train=$3 need_teval=$4
