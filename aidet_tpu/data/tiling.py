@@ -86,6 +86,42 @@ def tile_image(img: np.ndarray, patch: int = 1024, overlap: int = 200):
     return patches, offs
 
 
+def device_tiler(height: int, width: int, patch: int = 1024,
+                 overlap: int = 200):
+    """Build a jitted on-device scene→patches tiler.
+
+    The serving path's host tiling copies every overlapping patch and
+    ships N×patch² uint8 over the host↔device link (~50 MB for a
+    3072² scene at 200 px overlap).  Shipping the SCENE once (~28 MB)
+    and slicing on device cuts the transfer by the overlap factor and
+    removes the host copy loop entirely; with `tile_coords` static,
+    every slice is a static-shape `lax.slice` that XLA lowers to plain
+    HBM copies.  The patch batch keeps the exact same shape as the
+    host path, so a predict function compiled for host-tiled input is
+    reused as-is.
+
+    Scenes smaller than `patch` in either dim need host-side padding —
+    use `tile_image` there (border tiles are the rare path).
+
+    Returns (jitted scene→[N, patch, patch, C] fn, offsets [N, 2]).
+    """
+    import jax
+    import jax.numpy as jnp
+    if height < patch or width < patch:
+        raise ValueError("device_tiler needs scene >= patch; "
+                         "use tile_image for small scenes")
+    coords = tile_coords(height, width, patch, overlap)
+
+    def tile(scene):
+        c = scene.shape[2]
+        return jnp.stack([
+            jax.lax.slice(scene, (y, x, 0), (y + patch, x + patch, c))
+            for (x, y) in coords])
+
+    offs = np.asarray(coords, np.float32)
+    return jax.jit(tile), offs
+
+
 def merge_patch_detections(dets_per_patch, offsets, num_classes: int,
                            iou_thr=0.3, box_type: str = "quad",
                            score_thr: float = 0.05, max_keep: int = 2000,

@@ -87,15 +87,18 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
 
     from __graft_entry__ import _build_flagship
     from aidet_tpu.data.np_rboxes import thetaobb2pointobb
-    from aidet_tpu.data.tiling import merge_patch_detections, tile_image
+    from aidet_tpu.data.tiling import device_tiler, merge_patch_detections
 
     model = _build_flagship(patch)
     # auto = pallas on chip, XLA off-chip (CPU smoke-testability)
     model = model.clone(roi_align_impl="auto")
     rs = np.random.RandomState(0)
     scene_img = rs.randint(0, 256, (scene, scene, 3), np.uint8)
-    patches, offs = tile_image(scene_img, patch, overlap)
-    n = len(patches)
+    # device-side tiling: ship the scene once (~28 MB uint8), slice
+    # into overlapping patches on device (static lax.slice) — the
+    # host-tiled path ships ~50 MB and pays a host copy loop per scene
+    tiler, offs = device_tiler(scene, scene, patch, overlap)
+    n = len(offs)
     shapes = jnp.tile(jnp.asarray([[patch, patch]], jnp.float32), (n, 1))
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, patch, patch, 3),
@@ -104,9 +107,9 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
                                                     method="predict"))
 
     def dispatch():
-        """Host slice + async uint8 put + async predict dispatch."""
-        p, offs_ = tile_image(scene_img, patch, overlap)
-        return predict(variables, jnp.asarray(p), shapes), offs_
+        """Async scene put + on-device tile + predict dispatch."""
+        scene_dev = jax.device_put(scene_img)
+        return predict(variables, tiler(scene_dev), shapes), offs
 
     def drain(out_dev, offs_):
         """Lift one scene's outputs + global rotated-NMS merge (host)."""
@@ -140,18 +143,19 @@ def measure_scene_e2e(n_scenes: int = 8, scene: int = 3072,
     n_probe = 2
     for _ in range(n_probe):
         s0 = time.perf_counter()
-        p, offs_ = tile_image(scene_img, patch, overlap)
+        scene_dev = jax.device_put(scene_img)
+        jax.block_until_ready(scene_dev)
         s1 = time.perf_counter()
-        imgs_dev = jax.device_put(p)
-        jax.block_until_ready(imgs_dev)
+        patches_dev = tiler(scene_dev)
+        jax.block_until_ready(patches_dev)
         s2 = time.perf_counter()
-        out_dev = predict(variables, imgs_dev, shapes)
+        out_dev = predict(variables, patches_dev, shapes)
         jax.block_until_ready(out_dev)
         s3 = time.perf_counter()
-        drain(out_dev, offs_)
+        drain(out_dev, offs)
         s4 = time.perf_counter()
-        stages["tile"] += s1 - s0
-        stages["transfer"] += s2 - s1
+        stages["transfer"] += s1 - s0
+        stages["tile"] += s2 - s1
         stages["predict"] += s3 - s2
         stages["merge"] += s4 - s3
     stages = {k: v / n_probe * 1e3 for k, v in stages.items()}  # ms/scene

@@ -5,7 +5,8 @@ import numpy as np
 from aidet_tpu.core.eval import average_precision, eval_map, eval_recalls
 from aidet_tpu.core.eval.dota import dota_eval
 from aidet_tpu.core.eval.mean_ap import tpfp_default, bbox_overlaps_np
-from aidet_tpu.data.tiling import (merge_patch_detections, tile_coords,
+from aidet_tpu.data.tiling import (device_tiler,
+                                   merge_patch_detections, tile_coords,
                                    tile_image)
 from aidet_tpu.data.dota import DOTADataset, parse_patch_name
 
@@ -74,6 +75,18 @@ def test_tile_image_shapes():
     x, y = int(offs[0][0]), int(offs[0][1])
     np.testing.assert_array_equal(patches[0][:100, :100],
                                   img[y:y + 100, x:x + 100])
+
+
+def test_device_tiler_matches_host_tiling():
+    # the serving path's on-device tiler must produce byte-identical
+    # patches (and identical offsets) to the host tile_image path
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 256, (700, 900, 3), np.uint8)
+    host_patches, host_offs = tile_image(img, patch=512, overlap=100)
+    tiler, offs = device_tiler(700, 900, patch=512, overlap=100)
+    np.testing.assert_array_equal(offs, host_offs)
+    dev_patches = np.asarray(tiler(img))
+    np.testing.assert_array_equal(dev_patches, host_patches)
 
 
 def test_merge_patch_detections_dedups_overlap():
