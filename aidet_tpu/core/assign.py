@@ -51,8 +51,23 @@ def max_iou_assign(boxes: jax.Array, gt_boxes: jax.Array,
       gt_valid: [G] bool.
       box_valid: [N] bool — invalid boxes always get -1.
     """
+    import os
     n = boxes.shape[0]
-    overlaps = bbox_overlaps(gt_boxes, boxes)           # [G, N]
+    if os.environ.get("AIDET_ASSIGN_BF16", "0") == "1":
+        # halve the [G, N] IoU matrix bandwidth (round-4 profile: the
+        # full-anchor f32 matrix dominates `rpn targets+loss`).  bf16
+        # IoU has ~3 decimal digits — enough for the 0.3/0.5/0.7
+        # threshold tests; borderline anchors may flip, which training
+        # absorbs (sampling is random anyway).  Opt-in until the A/B
+        # proves the step-time win justifies the numerics change.
+        overlaps = bbox_overlaps(
+            gt_boxes.astype(jnp.bfloat16),
+            boxes.astype(jnp.bfloat16))                 # [G, N] bf16
+        # stays bf16 through the masks/reductions below (weak-typed
+        # python scalars don't promote); only the returned per-anchor
+        # max upcasts
+    else:
+        overlaps = bbox_overlaps(gt_boxes, boxes)       # [G, N]
     # padding gts act like "no gt" (IoU 0 → background), NOT like
     # ignore regions (-1) — matches assign_wrt_overlaps:140-143 where
     # zero gts send every box to background
@@ -102,7 +117,9 @@ def max_iou_assign(boxes: jax.Array, gt_boxes: jax.Array,
     else:
         safe = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
         labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
-    return AssignResult(assigned, jnp.maximum(max_overlaps, 0.0), labels)
+    return AssignResult(
+        assigned,
+        jnp.maximum(max_overlaps, 0.0).astype(jnp.float32), labels)
 
 
 def point_assign(points: jax.Array, point_strides: jax.Array,

@@ -276,3 +276,36 @@ def test_random_topk_mask_bounded_matches_exact():
         exact = random_topk_mask(key, mask, kt)
         fast = random_topk_mask(key, mask, kt, k_max=k)
         np.testing.assert_array_equal(np.asarray(exact), np.asarray(fast))
+
+
+def test_assign_bf16_flag_matches_f32_on_clear_cases(monkeypatch):
+    # AIDET_ASSIGN_BF16=1 halves the IoU-matrix bandwidth; assignments
+    # may flip only for anchors whose IoU sits within bf16 rounding of
+    # a threshold.  On random geometry the agreement must be ~total.
+    import numpy as np
+    import jax.numpy as jnp
+    from aidet_tpu.core.assign import max_iou_assign
+
+    rs = np.random.RandomState(0)
+    xy = rs.uniform(0, 400, (512, 2)).astype(np.float32)
+    wh = rs.uniform(8, 120, (512, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    gxy = rs.uniform(0, 400, (24, 2)).astype(np.float32)
+    gwh = rs.uniform(16, 160, (24, 2)).astype(np.float32)
+    gt = jnp.asarray(np.concatenate([gxy, gxy + gwh], -1))
+    gtv = jnp.asarray(np.ones(24, bool))
+    gtl = jnp.asarray(rs.randint(1, 16, 24).astype(np.int32))
+
+    monkeypatch.delenv("AIDET_ASSIGN_BF16", raising=False)
+    ref = max_iou_assign(boxes, gt, gtv, gtl)
+    monkeypatch.setenv("AIDET_ASSIGN_BF16", "1")
+    lo = max_iou_assign(boxes, gt, gtv, gtl)
+
+    # bf16 rounding can tie several anchors at a gt's rounded max,
+    # widening the claim step — a ~1-2% assignment drift is expected
+    agree = np.mean(np.asarray(ref.gt_inds) == np.asarray(lo.gt_inds))
+    assert agree > 0.97, agree
+    assert lo.max_overlaps.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(lo.max_overlaps),
+                               np.asarray(ref.max_overlaps),
+                               rtol=2e-2, atol=1e-2)
