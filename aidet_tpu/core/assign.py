@@ -60,9 +60,12 @@ def max_iou_assign(boxes: jax.Array, gt_boxes: jax.Array,
         # threshold tests; borderline anchors may flip, which training
         # absorbs (sampling is random anyway).  Opt-in until the A/B
         # proves the step-time win justifies the numerics change.
-        overlaps = bbox_overlaps(
-            gt_boxes.astype(jnp.bfloat16),
-            boxes.astype(jnp.bfloat16))                 # [G, N] bf16
+        # IoU arithmetic stays f32 INSIDE the producer fusion (bf16
+        # coordinates would round ±1-2 px at scene scale and corrupt
+        # small overlaps); only the materialized [G, N] matrix and the
+        # reduction passes over it are bf16 — that is where the bytes
+        # are.  Final rounding is one bf16 ulp (~0.4% of the IoU).
+        overlaps = bbox_overlaps(gt_boxes, boxes).astype(jnp.bfloat16)
         # stays bf16 through the masks/reductions below (weak-typed
         # python scalars don't promote); only the returned per-anchor
         # max upcasts
