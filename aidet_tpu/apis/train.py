@@ -21,6 +21,31 @@ from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import get_root_logger
 
 
+_LIBC = None
+
+
+def _malloc_trim():
+    """Return freed glibc arenas to the OS.
+
+    Long train runs through the remote-device tunnel grow host RSS
+    without bound (observed: 130 GB anon-rss → OOM-kill 60 iters from
+    the end of a 12-epoch run).  The per-iteration host allocations
+    (batch staging across the loader/prefetch/jax threads) fragment
+    glibc's per-thread arenas, which never shrink on free; trimming at
+    every log interval (~every 50 steps) is a few ms and bounds RSS.
+    """
+    global _LIBC
+    if _LIBC is False:  # non-glibc platform, probed once
+        return
+    try:
+        if _LIBC is None:
+            import ctypes
+            _LIBC = ctypes.CDLL("libc.so.6")
+        _LIBC.malloc_trim(0)
+    except Exception:
+        _LIBC = False
+
+
 def set_random_seed(seed: int):
     """JAX randomness is explicit via keys; this seeds numpy for the
     host-side pipeline (parity: apis/train.py:16-32)."""
@@ -234,6 +259,7 @@ def train_detector(model, dataset, cfg, work_dir: str = "work_dirs/run",
                             epoch + 1, i + 1, iters_per_epoch, dt,
                             float(schedule(global_step)),
                             {k: round(v, 4) for k, v in m.items()})
+                _malloc_trim()
         if (epoch + 1) % ckpt_interval == 0 and proc_id == 0:
             save_checkpoint(f"{work_dir}/ckpt", state, epoch + 1,
                             meta=dict(

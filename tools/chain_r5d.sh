@@ -36,6 +36,12 @@ while [ ! -f /tmp/r5d_go ]; do
 done
 echo "=== r5d starting, $(left)s of budget left $(date) ==="
 
+# the 12-epoch centermap run was OOM-killed at 130 GB host RSS (leaked
+# batch staging); 24-epoch runs WILL die mid-train without mitigation.
+# malloc_trim now runs every log interval, arenas are capped, and each
+# train gets up to 3 attempts resuming from the latest epoch ckpt.
+export MALLOC_ARENA_MAX=2
+
 run_2x() {
   local cfg=$1 name=$2 need_train=$3 need_teval=$4
   if [ "$(left)" -lt "$need_train" ]; then
@@ -43,10 +49,20 @@ run_2x() {
     return 1
   fi
   echo "=== $name train $(date) ==="
-  timeout $(( need_train )) python tools/train.py "configs/$cfg" \
-    --work-dir "work_dirs/${cfg%.py}" \
-    >> "work_dirs/${cfg%.py}_r5.log" 2>&1
-  echo "=== $name train exit=$? $(date) ==="
+  local rc=1
+  for attempt in 1 2 3; do
+    local resume=""
+    if [ -d "work_dirs/${cfg%.py}/ckpt" ] && [ "$attempt" -gt 1 ]; then
+      resume="--resume-from work_dirs/${cfg%.py}/ckpt"
+    fi
+    timeout $(( need_train )) python tools/train.py "configs/$cfg" \
+      --work-dir "work_dirs/${cfg%.py}" $resume \
+      >> "work_dirs/${cfg%.py}_r5.log" 2>&1
+    rc=$?
+    echo "=== $name train attempt $attempt exit=$rc $(date) ==="
+    [ "$rc" -eq 0 ] && break
+    if [ "$(left)" -lt "$need_teval" ]; then break; fi
+  done
   if [ "$(left)" -lt "$need_teval" ]; then
     echo "=== SKIP $name test+eval (have $(left)s) ==="
     return 1
