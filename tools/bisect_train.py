@@ -36,7 +36,12 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--max-gt", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--variants", default="fwd,rpn,rcnn_hbb,all,step",
+                    help="comma list: fwd_rpn (fwd of rpn losses only "
+                         "— DCEs the whole rcnn forward chain), fwd, "
+                         "rpn, rcnn_hbb, all, step")
     args = ap.parse_args()
+    variants = set(args.variants.split(","))
     if args.cpu:
         from aidet_tpu.utils.platform import force_cpu
         force_cpu()
@@ -109,22 +114,39 @@ def main():
             return sum(jnp.sum(x) for x in sel)
         return jax.jit(jax.value_and_grad(fn))
 
-    res["fwd"] = timed(
-        "fwd", jax.jit(lambda p: sum(
-            jnp.sum(x) for x in jax.tree_util.tree_leaves(losses_of(p)))),
-        state.params)
-    res["rpn"] = timed("grad rpn", subset_grad(
-        lambda k: k.startswith("loss_rpn")), state.params)
-    res["rcnn_hbb"] = timed("grad +rcnn_hbb", subset_grad(
-        lambda k: k.startswith("loss_rpn") or k in ("loss_cls",
-                                                    "loss_bbox")),
-        state.params)
-    res["all"] = timed("grad all", subset_grad(lambda k: True),
-                       state.params)
+    def subset_fwd(keys_filter):
+        def fn(params):
+            d = losses_of(params)
+            return sum(jnp.sum(v) for k, v in d.items()
+                       if keys_filter(k))
+        return jax.jit(fn)
 
-    step = make_train_step(model, optimizer, donate=False)
-    res["step"] = timed("full step", lambda st: step(st, batch, rng)[1],
-                        state)
+    if "fwd_rpn" in variants:
+        # forward of the rpn losses alone: XLA DCEs proposals, rcnn
+        # assignment/sampling, RoI extraction and both rcnn heads even
+        # in the FORWARD pass — the delta vs `fwd` is the in-context
+        # cost of the whole no-grad rcnn forward chain
+        res["fwd_rpn"] = timed("fwd rpn-only", subset_fwd(
+            lambda k: k.startswith("loss_rpn")), state.params)
+    if "fwd" in variants:
+        res["fwd"] = timed("fwd", subset_fwd(lambda k: True),
+                           state.params)
+    if "rpn" in variants:
+        res["rpn"] = timed("grad rpn", subset_grad(
+            lambda k: k.startswith("loss_rpn")), state.params)
+    if "rcnn_hbb" in variants:
+        res["rcnn_hbb"] = timed("grad +rcnn_hbb", subset_grad(
+            lambda k: k.startswith("loss_rpn") or k in ("loss_cls",
+                                                        "loss_bbox")),
+            state.params)
+    if "all" in variants:
+        res["all"] = timed("grad all", subset_grad(lambda k: True),
+                           state.params)
+
+    if "step" in variants:
+        step = make_train_step(model, optimizer, donate=False)
+        res["step"] = timed("full step",
+                            lambda st: step(st, batch, rng)[1], state)
 
     print(json.dumps({"bisect_ms": {k: round(v, 1)
                                     for k, v in res.items()},
