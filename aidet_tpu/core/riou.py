@@ -177,7 +177,13 @@ def quad_overlaps(quads1: jax.Array, quads2: jax.Array,
             # SEQUENTIAL under any outer vmap — vmapping a while-loop
             # batches the carry, never unrolls the trip axis, which is
             # what keeps peak memory flat at multiclass-rnms scale
-            # (B=8 × C=15 × 256² pairs).
+            # (B=8 × C=15 × 256² pairs).  Chunk-size tuning, measured
+            # round 5: raising chunk to 128 with a 256² single-block
+            # threshold put the compiled peak at 9.9 GB for the
+            # RetinaNetOBB e2e predict (each fori step keeps ~10 live
+            # [24, chunk, M] buffers PER batch×class vmap lane) — too
+            # close to HBM for batch-16 flagship predict.  chunk=32
+            # stays.
             pad = -n % chunk
             p1p = jnp.pad(p1, ((0, pad), (0, 0), (0, 0)))
             npad = n + pad
