@@ -72,9 +72,15 @@ def main():
             extra += ["--autoscale-lr"]
         run("train.py", args.config, "--work-dir", work, *extra)
     if "test" in args.stages:
+        extra = []
+        if args.batch_size:
+            # also governs test: large predict programs (e.g.
+            # CenterMapNet's semantic-fusion RoI gather) can exceed
+            # HBM at the default batch 8
+            extra += ["--batch-size", str(args.batch_size)]
         run("test.py", args.config, "--checkpoint",
             os.path.join(work, "ckpt"), "--out", results,
-            "--submit-dir", os.path.join(work, "submit"))
+            "--submit-dir", os.path.join(work, "submit"), *extra)
     if "eval" in args.stages:
         if not args.gt_json:
             p.error("--gt-json is required for the eval stage")
