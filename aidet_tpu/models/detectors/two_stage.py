@@ -478,6 +478,13 @@ class TwoStageDetector(nn.Module):
             rpn_lvl_sizes, img_shapes,
             target_stds=rpn_stds,
             **tc["rpn_proposal"])
+        import os
+        if os.environ.get("AIDET_DEBUG_PROP_LOSS"):
+            # profiling probe (tools/bisect_train.py fwd_prop variant):
+            # a loss key that depends on the proposals but nothing
+            # after them, so XLA's DCE of the later loss subsets cuts
+            # the program exactly at the proposal boundary
+            losses["dbg_prop"] = (props.sum() + prop_scores.sum()) * 1e-12
 
         # stage 2: assign + sample per image (add gt as proposals,
         # base_sampler.py:69-76)

@@ -128,9 +128,17 @@ def main():
         # cost of the whole no-grad rcnn forward chain
         res["fwd_rpn"] = timed("fwd rpn-only", subset_fwd(
             lambda k: k.startswith("loss_rpn")), state.params)
+    if "fwd_prop" in variants:
+        # needs AIDET_DEBUG_PROP_LOSS=1 so the loss dict carries a key
+        # that depends on the proposals but nothing downstream; the
+        # delta vs fwd_rpn is the IN-CONTEXT cost of rpn_proposals
+        # (decode + per-level NMS), vs fwd the cost of everything after
+        res["fwd_prop"] = timed("fwd rpn+proposals", subset_fwd(
+            lambda k: k.startswith("loss_rpn") or k == "dbg_prop"),
+            state.params)
     if "fwd" in variants:
-        res["fwd"] = timed("fwd", subset_fwd(lambda k: True),
-                           state.params)
+        res["fwd"] = timed("fwd", subset_fwd(
+            lambda k: k != "dbg_prop"), state.params)
     if "rpn" in variants:
         res["rpn"] = timed("grad rpn", subset_grad(
             lambda k: k.startswith("loss_rpn")), state.params)
@@ -140,8 +148,8 @@ def main():
                                                         "loss_bbox")),
             state.params)
     if "all" in variants:
-        res["all"] = timed("grad all", subset_grad(lambda k: True),
-                           state.params)
+        res["all"] = timed("grad all", subset_grad(
+            lambda k: k != "dbg_prop"), state.params)
 
     if "step" in variants:
         step = make_train_step(model, optimizer, donate=False)
