@@ -311,12 +311,14 @@ class TwoStageDetector(nn.Module):
                     in ("tpu", "axon") else "xla")
         if impl == "pallas":
             import os
-            # default 'x' = bandx (x-first full-width contraction with
-            # per-band chunk grouping): measured 39.9 ms vs band 59.6 ms
-            # vs window 69.8 ms @16k rois on v5e (round-4 A/B,
-            # work_dirs/chain_r4_s3e.log).  '1' falls back to band,
-            # '0' to the per-roi window kernel.
-            band_impl = os.environ.get("AIDET_ROI_BAND", "x")
+            # default 'band'.  The round-4 KERNEL microbench favored
+            # bandx (39.9 vs 59.6 ms @16k rois, chain_r4_s3e.log), but
+            # the round-5 END-TO-END A/B reversed it: flagship bench
+            # 134.25 p/s with band vs 131.69 with bandx (identical code
+            # otherwise) — the microbench's uniform-roi layout
+            # over-credits bandx's chunk grouping.  e2e wins; 'x' stays
+            # available for re-evaluation, '0' = per-roi window kernel.
+            band_impl = os.environ.get("AIDET_ROI_BAND", "1")
             if (infer and feats[0].dtype == jnp.bfloat16
                     and band_impl != "0"):
                 if band_impl == "x":
