@@ -39,6 +39,136 @@ def _ensure_ccw(pts: jax.Array) -> jax.Array:
 
 
 def _inter_soa(px, py, qx, qy):
+    """Intersection areas of CCW quads — sub-edge line integral.
+
+    EXPERIMENTAL (non-default; see the _INTER selection below for the
+    failure mode that keeps the hull build the default).
+    Green's-theorem formulation: the boundary of P∩Q consists of
+    sub-segments of
+    P's edges inside Q and of Q's edges inside P.  Each straight piece
+    with endpoints s→e contributes cross(s, e) to the shoelace sum, and
+    the sum is ORDER-INDEPENDENT (addition commutes; shoelace is a sum
+    over boundary edges) — so no angular sort is needed at all.  For an
+    edge a→a+d clipped to t ∈ [t0, t1] the contribution collapses to
+    (t1 − t0)·cross(a, d).
+
+    Clipping a segment against a convex quad is 4 linear constraints
+    f_j(t) = A_j + t·B_j ≥ 0 → interval [max lower, min upper]: pure
+    elementwise max/min, no scatter, no sort.
+
+    Coincident boundaries (duplicate detections — the NMS common case)
+    would double-count, and a merely "strict vs inclusive" tiebreak
+    gets the touching-but-disjoint case wrong.  The exact, eps-free
+    resolution is SYMBOLIC PERTURBATION: resolve every
+    parallel-edge-ON-boundary case (f ≡ 0, the only case where
+    open/closed matters — interval endpoints are measure-zero for the
+    integral) as if Q were shifted by an infinitesimal δ·(1, ω):
+      · P edges against a Q half-plane with edge vector e: keep iff
+        e_y > 0, tie (e_y == 0) → keep iff e_x < 0
+      · Q edges against a P half-plane: the exact complement.
+    Hand-checked: identical quads → every boundary edge counted once
+    (IoU 1); touching squares sharing an edge → both copies dropped
+    (IoU 0); partial shared edge → shared segment counted once.
+
+    Numerics: the integrand cross(a, d) is origin-DEPENDENT, so
+    coordinates are centered on P's mean vertex first — otherwise
+    near-parallel clips amplify t-roundoff by |a| (translation leaves
+    the exact area invariant but dominates the f32 error term).
+
+    vs the hull build: no [24, …] candidate buffers (peak scratch
+    ~3× smaller), no argsort over 24 candidates per pair (the former
+    bandwidth hot spot), same exactness.
+
+    Args:
+      px, py: [4, *dims] P-quad vertex coordinates (vertex axis LEADING).
+      qx, qy: [4, *dims] Q-quad vertex coordinates (broadcastable).
+    Returns: [*dims] f32 intersection areas.
+    """
+    # common origin for the integrand: A, B and the t-interval are
+    # translation-invariant (built purely from coordinate differences),
+    # so only the contribution term is centered — and because the
+    # pieces form a closed boundary, a COMMON shift leaves the summed
+    # area exact while shrinking |a| from image scale to quad scale
+    cx = (px[0] + px[1] + px[2] + px[3]) * 0.25
+    cy = (py[0] + py[1] + py[2] + py[3]) * 0.25
+
+    def pieces(ax_, ay_, axn, ayn, bx_, by_, bxn, byn, qside):
+        """Σ over the 4 a-edges of their inside-b piece contributions.
+
+        qside: True when clipping Q's edges against P's half-planes
+        (flips the symbolic-perturbation tiebreak).  Returns [*dims]."""
+        total = None
+        ex = [bxn[j] - bx_[j] for j in range(4)]   # b edge vectors
+        ey = [byn[j] - by_[j] for j in range(4)]
+        s = 1.0 if qside else -1.0
+        ne = [jnp.abs(ex[j]) + jnp.abs(ey[j]) for j in range(4)]
+        for i in range(4):
+            a_x, a_y = ax_[i], ay_[i]
+            dx, dy = axn[i] - a_x, ayn[i] - a_y
+            nd = jnp.abs(dx) + jnp.abs(dy)
+            t0 = None
+            t1 = None
+            dead = None
+            for j in range(4):
+                # f(t) = cross(e_j, a + t d - b_j) = A + t B.
+                # A is evaluated against whichever ENDPOINT of the
+                # clipping edge is nearer: the f32 error of the cross
+                # is ~ulp·|e|·|r|, and for near-duplicate quads (the
+                # NMS regime) the far anchor's cancellation noise
+                # exceeds the true line offset, flipping in/out
+                # decisions at random.  Both anchors lie on the same
+                # line, so this is exact in real arithmetic.
+                r0x, r0y = a_x - bx_[j], a_y - by_[j]
+                r1x, r1y = a_x - bxn[j], a_y - byn[j]
+                near0 = (jnp.abs(r0x) + jnp.abs(r0y)
+                         <= jnp.abs(r1x) + jnp.abs(r1y))
+                rx = jnp.where(near0, r0x, r1x)
+                ry = jnp.where(near0, r0y, r1y)
+                A = ex[j] * ry - ey[j] * rx
+                B = ex[j] * dy - ey[j] * dx
+                # near-parallel (|B| below a RELATIVE threshold) is
+                # treated as exactly parallel: the f32 cancellation in
+                # A makes t = -A/B garbage there (t-error ~ ulp·|a-b|/
+                # |B|·…), and unlike the hull build — where a crossing
+                # point misplaced ALONG the edge is harmless — a span
+                # error multiplies the full lever arm.  The parallel
+                # wedge approximated away is ≤ thr·|d|²/2, ~1e-4 of
+                # the quad area.
+                con = jnp.abs(B) > 1e-4 * ne[j] * nd
+                safe = jnp.where(con, B, 1.0)
+                r = -A / safe
+                lo = jnp.where(con & (B > 0), r, 0.0)
+                hi = jnp.where(con & (B < 0), r, 1.0)
+                # parallel on/near-boundary (|A| inside the roundoff
+                # band): keep iff the symbolic δ·(1, ω) shift of Q
+                # moves this edge to the inside of the half-plane
+                alive0 = (s * ey[j] < 0) | ((ey[j] == 0)
+                                            & (s * ex[j] > 0))
+                an = 1e-6 * ne[j] * (jnp.abs(rx) + jnp.abs(ry))
+                dd = (~con) & ((A < -an)
+                               | ((jnp.abs(A) <= an) & ~alive0))
+                t0 = lo if t0 is None else jnp.maximum(t0, lo)
+                t1 = hi if t1 is None else jnp.minimum(t1, hi)
+                dead = dd if dead is None else (dead | dd)
+            t0 = jnp.clip(t0, 0.0, 1.0)
+            t1 = jnp.clip(t1, 0.0, 1.0)
+            span = jnp.where(dead, 0.0, jnp.maximum(t1 - t0, 0.0))
+            contrib = span * ((a_x - cx) * dy - (a_y - cy) * dx)
+            total = contrib if total is None else total + contrib
+        return total
+
+    two_area = (pieces(px, py, [px[(i + 1) % 4] for i in range(4)],
+                       [py[(i + 1) % 4] for i in range(4)],
+                       qx, qy, [qx[(j + 1) % 4] for j in range(4)],
+                       [qy[(j + 1) % 4] for j in range(4)], False)
+                + pieces(qx, qy, [qx[(j + 1) % 4] for j in range(4)],
+                         [qy[(j + 1) % 4] for j in range(4)],
+                         px, py, [px[(i + 1) % 4] for i in range(4)],
+                         [py[(i + 1) % 4] for i in range(4)], True))
+    return jnp.maximum(0.5 * two_area, 0.0)
+
+
+def _inter_soa_hull(px, py, qx, qy):
     """Intersection areas of CCW quads, structure-of-arrays.
 
     Args:
@@ -128,13 +258,31 @@ def _inter_soa(px, py, qx, qy):
     return jnp.where(cnt >= 3, area, 0.0)
 
 
+import os as _os
+
+# Default: the 24-candidate convex-hull build.  AIDET_RIOU_IMPL=integral
+# selects the experimental sub-edge line-integral formulation (read at
+# trace time) — see its docstring for why it is NOT the default: the
+# integral needs a numerically CLOSED boundary, and for near-duplicate
+# quads (the defining NMS workload) the near-coincident boundary pieces
+# of P and Q are split at independently-computed, ill-conditioned
+# crossing parameters; any inconsistency breaks closure and costs
+# O(piece) area, not O(sliver).  The hull build is immune: every
+# candidate point lies ON a true boundary line, so misplacement along
+# an edge barely moves the hull.  Measured on the hobb-roundtrip pair
+# (tests/test_rboxes.py): hull 4715.1 px² (= f64 truth), integral
+# 3536.3 — a dropped near-coincident piece, 25% IoU error.
+_INTER = (_inter_soa if _os.environ.get("AIDET_RIOU_IMPL") == "integral"
+          else _inter_soa_hull)
+
+
 def _inter_block(p1: jax.Array, p2: jax.Array) -> jax.Array:
     """All-pairs intersection areas: p1 [N,4,2] × p2 [M,4,2] → [N,M]."""
     px = jnp.transpose(p1[..., 0])[:, :, None]   # [4, N, 1]
     py = jnp.transpose(p1[..., 1])[:, :, None]
     qx = jnp.transpose(p2[..., 0])[:, None, :]   # [4, 1, M]
     qy = jnp.transpose(p2[..., 1])[:, None, :]
-    return _inter_soa(px, py, qx, qy)
+    return _INTER(px, py, qx, qy)
 
 
 def quad_areas(quads: jax.Array) -> jax.Array:
@@ -166,7 +314,7 @@ def quad_overlaps(quads1: jax.Array, quads2: jax.Array,
         py = jnp.transpose(p1[..., 1])
         qx = jnp.transpose(p2[..., 0])
         qy = jnp.transpose(p2[..., 1])
-        inter = _inter_soa(px, py, qx, qy)
+        inter = _INTER(px, py, qx, qy)
     else:
         n, m = p1.shape[0], p2.shape[0]
         chunk = 32

@@ -1,3 +1,8 @@
+"""Results (val scenes, synthetic devkit dota_e2e_xl, R18@512 GN 12ep from scratch):
+    OBB mAP@0.5: 0.3181    HBB mAP@0.5: 0.4009
+(recorded by tools/publish_results.py — the reference's
+config-docstring convention, configs/dota/dota_v002_theta_obb_r50_v1_train.py:2-8)
+"""
 # Tiny e2e variant of dota_centermap_net_tgrs_mask_weight_v4.py (R18@512, the round-2-proven
 # synthetic-devkit recipe): relative per-encoding quality on the
 # realistic-angle set, not absolute scale.
